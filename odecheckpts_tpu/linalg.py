@@ -1,0 +1,183 @@
+"""QR-only square-root linear algebra for probabilistic ODE solvers.
+
+This is the numerical core that the reference's pip dependency (probdiffeq's
+``impl`` backends; selected at /root/reference/src/odecheckpts/ivpsolvers.py:33)
+performs internally.  Everything here follows the QR-only square-root Kalman
+filter recipe (arXiv:2208.06452): covariances are never formed; all updates act
+on right factors ``R`` with ``Sigma = R^T R`` via a single QR decomposition.
+
+TPU-first design notes
+----------------------
+* The hot shapes are tiny -- ``(2(nu+1), nu+1)`` stacks with ``nu <= 8`` --
+  and appear under heavy ``vmap`` (thousands of independent IVPs).  XLA's
+  generic ``lax.linalg.qr`` is not the fast path for those shapes on TPU, so
+  ``qr_r`` provides an unrolled Householder elimination built from plain
+  elementwise/matmul ops: under ``vmap`` it compiles to fully batched VPU/MXU
+  work with no per-matrix control flow.  Larger (dense-impl) shapes fall back
+  to ``jnp.linalg.qr``.
+* All functions are shape-polymorphic in leading batch dimensions and contain
+  no data-dependent control flow, so they are free to ``jit``/``vmap``/
+  ``shard_map``/differentiate.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Below this column count, use the unrolled Householder QR (fast + batched on
+# TPU); above it, defer to XLA's QR.  The isotropic/blockdiag backends always
+# sit far below this threshold; the dense backend crosses it for large d*nu.
+_UNROLL_MAX_COLS = 24
+
+
+def _sign_safe(x):
+    """sign(x) that maps 0 -> 1 (keeps Householder reflections well-defined)."""
+    return jnp.where(x >= 0, 1.0, -1.0).astype(x.dtype)
+
+
+def _qr_r_householder(x):
+    """R factor of QR via unrolled Householder reflections.
+
+    ``x``: (..., m, n) with m >= n, n static and small.  Returns (..., n, n)
+    upper-triangular with ``R^T R = x^T x``.  Unrolled over the (static) n
+    columns; every op is batched elementwise/matvec work, which is the layout
+    TPUs want under vmap.
+    """
+    m, n = x.shape[-2], x.shape[-1]
+    k = min(m, n)
+    r = x
+    eps = jnp.finfo(x.dtype).tiny
+    for j in range(min(n, m - 1)):
+        col = r[..., j:, j]  # (..., m-j)
+        norm = jnp.sqrt(jnp.sum(col * col, axis=-1, keepdims=True))
+        alpha = -_sign_safe(col[..., :1]) * norm
+        v = col - jnp.concatenate(
+            [alpha, jnp.zeros_like(col[..., 1:])], axis=-1
+        )  # v = col - alpha*e1
+        vnorm2 = jnp.sum(v * v, axis=-1, keepdims=True)
+        # Degenerate column (already eliminated): skip the reflection.
+        safe = vnorm2 > eps
+        inv = jnp.where(safe, 2.0 / jnp.where(safe, vnorm2, 1.0), 0.0)
+        block = r[..., j:, j:]  # (..., m-j, n-j)
+        coeff = jnp.einsum("...i,...ik->...k", v, block)  # (..., n-j)
+        block = block - inv[..., None] * v[..., :, None] * coeff[..., None, :]
+        r = jnp.concatenate(
+            [r[..., :j, :], jnp.concatenate([r[..., j:, :j], block], axis=-1)],
+            axis=-2,
+        )
+    return r[..., :k, :]
+
+
+def qr_r(x):
+    """Upper-triangular/trapezoidal ``R`` with ``R^T R = x^T x``; diag(R) >= 0.
+
+    ``x``: (..., m, n).  Returns (..., min(m, n), n).  The sign normalization
+    makes the factor unique, which keeps results deterministic across
+    backends.
+    """
+    m, n = x.shape[-2], x.shape[-1]
+    k = min(m, n)
+    if min(m - 1, n) <= _UNROLL_MAX_COLS:
+        r = _qr_r_householder(x)
+    else:
+        r = jnp.linalg.qr(x, mode="r")
+    d = _sign_safe(jnp.diagonal(r, axis1=-2, axis2=-1))
+    return r[..., :k, :] * d[..., :, None]
+
+
+def chol_from_stack(*stacked):
+    """Lower Cholesky-like factor of ``sum_i X_i^T X_i`` from right factors.
+
+    Arguments are (..., m_i, n) blocks; returns (..., n, n) lower-triangular L
+    with ``L L^T = sum_i X_i^T X_i``.  This is the sqrt-Kalman "propagate
+    covariance through a sum" primitive (predict step: X_1 = (A L_prev)^T,
+    X_2 = s * Lq^T).
+    """
+    x = jnp.concatenate(stacked, axis=-2)
+    return jnp.swapaxes(qr_r(x), -1, -2)
+
+
+def revert_markov(a_l, l_q, l_prev):
+    """Joint square-root factorization of one Gauss-Markov transition.
+
+    Given the previous covariance factor ``l_prev`` (n, n, lower,
+    Sigma = L L^T), the transformed factor ``a_l = A @ l_prev`` and the process
+    noise factor ``l_q`` (n, n, lower, already scaled), compute in ONE QR:
+
+      * ``l_pred``  -- lower factor of the predicted covariance
+        ``A Sigma A^T + Q``;
+      * ``gain``    -- the backward (RTS) gain ``G = Sigma A^T S_pred^{-1}``;
+      * ``l_bwd``   -- lower factor of the backward conditional covariance
+        ``Sigma - G S_pred G^T``.
+
+    This is the "reversal" that powers the smoother and the paper's
+    fixed-point (O(#checkpoints)-memory) strategy; see SURVEY.md section 1-L1
+    and arXiv:2208.06452.  Batched over leading dims.
+    """
+    n = l_prev.shape[-1]
+    zeros = jnp.zeros_like(l_q)
+    # Rows span [predicted | previous]:  X = [[ (A L)^T, L^T ], [ Lq^T, 0 ]]
+    top = jnp.concatenate(
+        [jnp.swapaxes(a_l, -1, -2), jnp.swapaxes(l_prev, -1, -2)], axis=-1
+    )
+    bottom = jnp.concatenate([jnp.swapaxes(l_q, -1, -2), zeros], axis=-1)
+    r = qr_r(jnp.concatenate([top, bottom], axis=-2))
+    r_yy = r[..., :n, :n]  # upper-tri; R_yy^T R_yy = S_pred
+    r_yx = r[..., :n, n:]  # R_yy^T R_yx = A Sigma (cross-cov)
+    r_xx = r[..., n:, n:]  # backward conditional factor
+    l_pred = jnp.swapaxes(r_yy, -1, -2)
+    # G = (R_yy^{-1} R_yx)^T  -- triangular solve, no explicit inverse.
+    gain = jnp.swapaxes(
+        jax.scipy.linalg.solve_triangular(r_yy, r_yx, lower=False), -1, -2
+    )
+    l_bwd = jnp.swapaxes(r_xx, -1, -2)
+    return l_pred, gain, l_bwd
+
+
+def revert_observation(l_prev, h_l, l_noise=None):
+    """Square-root correction for a linear observation ``y = H x + eps``.
+
+    ``l_prev``: (n, n) lower prior factor; ``h_l``: (m, n) = H @ L;
+    ``l_noise``: optional (m, m) lower observation-noise factor (None = exact,
+    noise-free constraint as in the TS* corrections).  One QR of
+    ``[[ (H L)^T, L^T ], [ L_eps^T, 0 ]]`` yields the observation factor
+    (m, m, lower, with ``S = L_s L_s^T``), the Kalman gain
+    ``K = Sigma H^T S^{-1}`` and the corrected covariance factor (n, n lower;
+    in the noise-free case exactly rank n-m and zero-padded to square so
+    shapes stay static).  Used by the dense backend for TS0/TS1 corrections
+    and by the data-likelihood updates in ``stats``.
+    """
+    n = l_prev.shape[-1]
+    m = h_l.shape[-2]
+    x = jnp.concatenate(
+        [jnp.swapaxes(h_l, -1, -2), jnp.swapaxes(l_prev, -1, -2)], axis=-1
+    )
+    if l_noise is not None:
+        zeros = jnp.zeros(l_noise.shape[:-2] + (m, n), l_noise.dtype)
+        noise_rows = jnp.concatenate([jnp.swapaxes(l_noise, -1, -2), zeros], axis=-1)
+        x = jnp.concatenate([x, noise_rows], axis=-2)
+    r = qr_r(x)  # upper-trapezoidal
+    r_yy = r[..., :m, :m]
+    r_yx = r[..., :m, m:]
+    r_xx = r[..., m:, m:]
+    l_obs = jnp.swapaxes(r_yy, -1, -2)
+    gain = jnp.swapaxes(
+        jax.scipy.linalg.solve_triangular(r_yy, r_yx, lower=False), -1, -2
+    )
+    if r_xx.shape[-2] < n:
+        pad = jnp.zeros(r_xx.shape[:-2] + (n - r_xx.shape[-2], n), r_xx.dtype)
+        r_xx = jnp.concatenate([r_xx, pad], axis=-2)
+    l_cor = jnp.swapaxes(r_xx[..., :n, :], -1, -2)
+    return l_obs, gain, l_cor
+
+
+def tri_logdet(l):
+    """log |det L| for a triangular factor (sum of log |diagonal|)."""
+    diag = jnp.diagonal(l, axis1=-2, axis2=-1)
+    return jnp.sum(jnp.log(jnp.abs(diag)), axis=-1)
+
+
+def tri_solve_lower(l, b):
+    """Solve ``L x = b`` with L lower-triangular (batched via the primitive)."""
+    return jax.scipy.linalg.solve_triangular(l, b, lower=True)

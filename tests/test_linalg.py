@@ -1,0 +1,84 @@
+"""Unit tests of the square-root algebra against naive covariance arithmetic.
+
+These are the tests the reference lacks (SURVEY.md section 4: "add unit tests
+of sqrt-Kalman algebra ... in float64").
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from odecheckpts_tpu import linalg
+
+
+@pytest.mark.parametrize("shape", [(5, 3), (3, 3), (10, 8), (40, 30), (64, 50)])
+def test_qr_r_reproduces_gram_matrix(shape):
+    x = jax.random.normal(jax.random.PRNGKey(0), shape)
+    r = linalg.qr_r(x)
+    assert r.shape == (shape[1], shape[1])
+    np.testing.assert_allclose(r.T @ r, x.T @ x, rtol=1e-10, atol=1e-10)
+    # upper-triangular with non-negative diagonal (uniqueness)
+    np.testing.assert_allclose(r, jnp.triu(r), atol=1e-12)
+    assert jnp.all(jnp.diagonal(r) >= 0)
+
+
+def test_qr_r_batched_matches_loop():
+    x = jax.random.normal(jax.random.PRNGKey(1), (7, 6, 4))
+    r_batched = jax.vmap(linalg.qr_r)(x)
+    for i in range(7):
+        np.testing.assert_allclose(r_batched[i], linalg.qr_r(x[i]), atol=1e-12)
+
+
+def test_chol_from_stack():
+    key = jax.random.PRNGKey(2)
+    a = jax.random.normal(key, (6, 4))
+    b = jax.random.normal(jax.random.PRNGKey(3), (4, 4))
+    l = linalg.chol_from_stack(a, b)
+    np.testing.assert_allclose(l @ l.T, a.T @ a + b.T @ b, atol=1e-10)
+    np.testing.assert_allclose(l, jnp.tril(l), atol=1e-12)
+
+
+def test_revert_markov_matches_dense_formulas():
+    n = 4
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(4), 4)
+    l_prev = jnp.tril(jax.random.normal(k1, (n, n))) + 3 * jnp.eye(n)
+    a = jax.random.normal(k2, (n, n))
+    l_q = jnp.tril(jax.random.normal(k3, (n, n))) + 2 * jnp.eye(n)
+
+    l_pred, gain, l_bwd = linalg.revert_markov(a @ l_prev, l_q, l_prev)
+
+    sigma = l_prev @ l_prev.T
+    q = l_q @ l_q.T
+    s_pred = a @ sigma @ a.T + q
+    np.testing.assert_allclose(l_pred @ l_pred.T, s_pred, atol=1e-9)
+    gain_expected = sigma @ a.T @ np.linalg.inv(s_pred)
+    np.testing.assert_allclose(gain, gain_expected, atol=1e-9)
+    cov_bwd_expected = sigma - gain_expected @ s_pred @ gain_expected.T
+    np.testing.assert_allclose(l_bwd @ l_bwd.T, cov_bwd_expected, atol=1e-9)
+
+
+@pytest.mark.parametrize("noisy", [False, True])
+def test_revert_observation_matches_dense_formulas(noisy):
+    n, m = 6, 2
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    l_prev = jnp.tril(jax.random.normal(k1, (n, n))) + 3 * jnp.eye(n)
+    h = jax.random.normal(k2, (m, n))
+    l_noise = 0.5 * jnp.eye(m) if noisy else None
+
+    l_obs, gain, l_cor = linalg.revert_observation(l_prev, h @ l_prev, l_noise)
+
+    sigma = l_prev @ l_prev.T
+    s = h @ sigma @ h.T + (0.25 * np.eye(m) if noisy else 0.0)
+    np.testing.assert_allclose(l_obs @ l_obs.T, s, atol=1e-9)
+    gain_expected = sigma @ h.T @ np.linalg.inv(s)
+    np.testing.assert_allclose(gain, gain_expected, atol=1e-9)
+    cov_cor = sigma - gain_expected @ s @ gain_expected.T
+    np.testing.assert_allclose(l_cor @ l_cor.T, cov_cor, atol=1e-9)
+    assert l_cor.shape == (n, n)
+
+
+def test_qr_r_grad_defined():
+    x = jax.random.normal(jax.random.PRNGKey(6), (8, 4))
+    g = jax.grad(lambda m: jnp.sum(linalg.qr_r(m) ** 2))(x)
+    assert jnp.all(jnp.isfinite(g))
