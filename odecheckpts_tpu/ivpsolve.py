@@ -135,8 +135,21 @@ def _tree_select(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-def _make_step(vf, asolver: AdaptiveSolver, scale_fixed):
-    """One accept/reject attempt; total function (no data-dependent python)."""
+def _dt_floor(ssm, dtype):
+    """Smallest dt whose preconditioner stays in normal floating-point range
+    (dt^(nu+1/2) must not underflow): used to keep dead/masked lanes and
+    exact-hit interpolations total under vmap + reverse-mode AD."""
+    nu = ssm.num_derivatives
+    return jnp.asarray(jnp.finfo(dtype).tiny ** (1.0 / (nu + 1.5)), dtype)
+
+
+def _make_step(vf, asolver: AdaptiveSolver, scale_fixed, dt_max=None):
+    """One accept/reject attempt; total function (no data-dependent python).
+
+    ``dt_max`` bounds the proposal so that masked-out lanes (vmap batches,
+    bounded loops) never drive dt to overflow: required for NaN-free
+    reverse-mode AD through the adaptive loop.
+    """
     solver = asolver.solver
     strategy = solver.strategy
     ssm = strategy.ssm
@@ -145,7 +158,9 @@ def _make_step(vf, asolver: AdaptiveSolver, scale_fixed):
     fixedpoint = strategy.kind == _solvers.FIXEDPOINT
 
     def step(s: _State) -> _State:
-        dt = s.dt
+        dt = jnp.maximum(s.dt, _dt_floor(ssm, s.dt.dtype))
+        if dt_max is not None:
+            dt = jnp.minimum(dt, dt_max)
         t_new = s.t + dt
         m_pred, cache = ssm.extrapolate_mean(s.rv.mean, dt)
         z, jacs = _solvers.linearize(strategy, vf, m_pred, t_new)
@@ -171,6 +186,8 @@ def _make_step(vf, asolver: AdaptiveSolver, scale_fixed):
 
         factor = _control_factor(ctrl, errn, s.errn_prev, error_order)
         dt_next = dt * factor
+        if dt_max is not None:
+            dt_next = jnp.minimum(dt_next, dt_max)
 
         # Forced acceptance once dt underflows the local time resolution:
         # keeps the loop total instead of spinning forever on pathological
@@ -216,7 +233,7 @@ def _interpolate_at(strategy, state: _State, t):
     fixedpoint = strategy.kind == _solvers.FIXEDPOINT
     needs_rev = strategy.needs_reversal
     ident = ssm.identity_conditional(dtype) if needs_rev else None
-    tiny = jnp.asarray(jnp.finfo(dtype).tiny ** 0.5, dtype)
+    tiny = _dt_floor(ssm, dtype)
 
     def exact(_):
         emit = (state.rv, state.bwd)
@@ -306,7 +323,7 @@ def solve_adaptive_save_at(vf, init, *, save_at, dt0, adaptive_solver):
     strategy = solver.strategy
     rv0, scale0 = init
     state0 = _init_state(asolver, init, save_at[0], dt0)
-    step = _make_step(vf, asolver, scale0)
+    step = _make_step(vf, asolver, scale0, dt_max=save_at[-1] - save_at[0])
 
     def per_checkpoint(state, t_next):
         state = control_flow.while_loop(lambda s: s.t < t_next, step, state)
@@ -346,7 +363,7 @@ def solve_adaptive_terminal_values(vf, init, *, t0, t1, dt0, adaptive_solver):
     ssm = solver.ssm
     rv0, scale0 = init
     state0 = _init_state(asolver, init, t0, dt0)
-    step = _make_step(vf, asolver, scale0)
+    step = _make_step(vf, asolver, scale0, dt_max=t1 - t0)
     state = control_flow.while_loop(lambda s: s.t < t1, step, state0)
     (rv_e, cond_e), state = _interpolate_at(solver.strategy, state, jnp.asarray(t1))
     sol = Solution(
@@ -378,7 +395,7 @@ def solve_adaptive_save_every_step(vf, init, *, t0, t1, dt0, adaptive_solver):
     strategy = solver.strategy
     rv0, scale0 = init
     state = _init_state(asolver, init, t0, dt0)
-    step = jax.jit(_make_step(vf, asolver, scale0))
+    step = jax.jit(_make_step(vf, asolver, scale0, dt_max=t1 - t0))
     interp = jax.jit(
         lambda s, t: _interpolate_at(strategy, s, jnp.asarray(t, s.t.dtype))
     )
@@ -424,7 +441,7 @@ def solve_adaptive_save_every_step_bounded(
     ssm = solver.ssm
     rv0, scale0 = init
     state0 = _init_state(asolver, init, t0, dt0)
-    step = _make_step(vf, asolver, scale0)
+    step = _make_step(vf, asolver, scale0, dt_max=t1 - t0)
 
     def scan_step(state, _):
         running = state.t < t1

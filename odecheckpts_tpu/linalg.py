@@ -50,7 +50,9 @@ def _qr_r_householder(x):
     eps = jnp.finfo(x.dtype).tiny
     for j in range(min(n, m - 1)):
         col = r[..., j:, j]  # (..., m-j)
-        norm = jnp.sqrt(jnp.sum(col * col, axis=-1, keepdims=True))
+        # tiny floor keeps sqrt differentiable at exactly-zero columns (rank-
+        # deficient factors occur by construction after exact corrections)
+        norm = jnp.sqrt(jnp.sum(col * col, axis=-1, keepdims=True) + eps)
         alpha = -_sign_safe(col[..., :1]) * norm
         v = col - jnp.concatenate(
             [alpha, jnp.zeros_like(col[..., 1:])], axis=-1
