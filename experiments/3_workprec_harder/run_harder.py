@@ -1,0 +1,108 @@
+"""Experiment 3: work-precision on Pleiades (14-dim, 2nd order).
+
+Port of /root/reference/experiments/3_workprec_harder/run_harder.py.
+Probabilistic solvers run the SECOND-ORDER form directly (ode_order=2,
+reference :42-60); RK baselines integrate the 1st-order reduction.
+Precision yardstick: dopri5 at 1e-15 on the 1st-order form (reference :85).
+"""
+
+import argparse
+import os
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+
+import jax
+
+jax.config.update("jax_platforms", os.environ.get("ODECKPT_PLATFORM", "cpu"))
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+from odecheckpts_tpu import facade, harness, problems  # noqa: E402
+
+
+def main():
+    vf2, u0_2nd, tspan = problems.pleiades_2nd()
+    vf1, u0_1st, _tspan, _args = problems.pleiades_1st()
+
+    args = parse_arguments()
+    print("\n", args, "\n")
+    n0, n1 = args.start, args.stop
+    tols = 0.1 ** jnp.arange(n0, n1, step=1.0)
+    time_fn = harness.timeit_fun(args.repeats)
+
+    xs = jnp.linspace(*tspan, num=50)
+    dt0 = 0.1
+    u0_like_2nd = u0_2nd[0]
+    u0_like_1st = u0_1st[0]
+
+    def prob_solver(num_derivatives):
+        @jax.jit
+        def algo(tol):
+            tol10 = tol * 10  # reference's x10 shift for prob solvers (:45)
+            fun = facade.solve(
+                f"ts0-{num_derivatives}",
+                vf2,
+                u0_like_2nd,
+                xs,
+                dt0=dt0,
+                atol=1e-3 * tol10,
+                rtol=tol10,
+                ode_order=2,
+            )
+            return fun(u0_2nd, ())
+
+        return algo
+
+    def rk_solver(method):
+        @jax.jit
+        def algo(tol):
+            fun = facade.solve_rk(
+                method, vf1, u0_like_1st, xs, dt0=dt0, atol=1e-3 * tol, rtol=tol
+            )
+            u, aux = fun(u0_1st, ())
+            return u[:, :14], aux  # positions only
+
+        return algo
+
+    algorithms = {
+        "Prob(3) via probabilistic": (tols, prob_solver(3)),
+        "Prob(5) via probabilistic": (tols, prob_solver(5)),
+        "Prob(8) via probabilistic": (tols, prob_solver(8)),
+        "Bosh3() via rk": (tols, rk_solver("bosh3")),
+        "Tsit5() via rk": (tols, rk_solver("tsit5")),
+        "Dopri8() via rk": (tols, rk_solver("dopri8")),
+    }
+    print("\n", list(algorithms.keys()), "\n")
+
+    reference = rk_solver("dopri5")(1e-15)[0]
+    precision = harness.rmse_absolute(reference)
+
+    results = {}
+    for label, (tols_, algo) in algorithms.items():
+        print(label, flush=True)
+        wp = harness.workprec(algo, precision_fun=precision, timeit_fun=time_fn)
+        results[label] = wp(list(map(float, tols_)))
+
+    if args.nosave:
+        print("\nSkipped saving.\n")
+    else:
+        here = os.path.dirname(__file__)
+        jnp.save(os.path.join(here, "data_results.npy"), results, allow_pickle=True)
+        jnp.save(os.path.join(here, "data_checkpoints.npy"), xs)
+        print("\nSaving successful.\n")
+
+
+def parse_arguments() -> argparse.Namespace:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--start", type=int, default=3)
+    parser.add_argument("--stop", type=int, default=10)
+    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--nosave", action=argparse.BooleanOptionalAction)
+    return parser.parse_args()
+
+
+if __name__ == "__main__":
+    main()

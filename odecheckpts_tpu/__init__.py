@@ -22,13 +22,19 @@ Module tour (import-parity with the reference stack where applicable):
 """
 
 from . import control_flow  # noqa: F401
+from . import exp_util  # noqa: F401
+from . import facade  # noqa: F401
+from . import harness  # noqa: F401
 from . import ivpsolve  # noqa: F401
 from . import ivpsolvers  # noqa: F401
 from . import linalg  # noqa: F401
+from . import parallel  # noqa: F401
 from . import prior  # noqa: F401
 from . import problems  # noqa: F401
+from . import rk  # noqa: F401
 from . import ssm  # noqa: F401
 from . import stats  # noqa: F401
 from . import taylor  # noqa: F401
+from . import train  # noqa: F401
 
 __version__ = "0.1.0"

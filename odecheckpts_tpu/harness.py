@@ -1,0 +1,123 @@
+"""Benchmark harness: work-precision sweeps, timing protocols, memory stats.
+
+Parity with the measurement machinery embedded in the reference's experiment
+scripts:
+
+* ``workprec``        -- parameter->(work, precision, memory-proxy) sweeps
+  (/root/reference/experiments/2_workprec_simple/run_simple.py:181-217)
+* ``rmse_absolute``   -- RMSE vs a reference trajectory (same file :169-178)
+* ``timeit_fun``      -- warm-up + ``timeit.repeat`` protocol (:159-166)
+* ``jit_and_time``    -- warm-started perf_counter protocol
+  (/root/reference/experiments/1_van_der_pol/vdp.py:28-43)
+* ``runtime_min``     -- min-of-R protocol
+  (/root/reference/experiments/5_vs_interpolation/measure.py:230-239)
+* ``nbytes_of_tree``  -- ravel_pytree-based memory accounting
+  (/root/reference/experiments/4_brusselator/run.py:74)
+* ``device_memory_stats`` -- live on-device allocation statistics, the
+  TPU-faithful replacement for host-side estimates (SURVEY.md hard part #6)
+"""
+
+from __future__ import annotations
+
+import statistics
+import time
+import timeit
+from typing import Callable
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+
+
+def rmse_absolute(expected) -> Callable:
+    expected = jnp.asarray(expected)
+
+    def rmse(received):
+        received = jnp.asarray(received)
+        err = jnp.abs(expected - received)
+        return jnp.linalg.norm(err) / jnp.sqrt(err.size)
+
+    return rmse
+
+
+def timeit_fun(repeats: int = 3) -> Callable:
+    def timer(fun, /):
+        _ = fun()  # warm-up (compile excluded)
+        return list(timeit.repeat(fun, number=1, repeat=repeats))
+
+    return timer
+
+
+def runtime_min(function: Callable, num_runs: int = 3) -> float:
+    cts = []
+    for _ in range(num_runs):
+        t0 = time.perf_counter()
+        out = function()
+        jax.block_until_ready(out)
+        t1 = time.perf_counter()
+        cts.append(t1 - t0)
+    return min(cts)
+
+
+def jit_and_time(fun: Callable) -> Callable:
+    """Warm-started wall-clock timing of a jitted thunk; returns
+    (runtime_seconds, output)."""
+    fun = jax.jit(fun)
+
+    def fun_wrapped():
+        out = fun()
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        out = fun()
+        jax.block_until_ready(out)
+        t1 = time.perf_counter()
+        return t1 - t0, out
+
+    return fun_wrapped
+
+
+def nbytes_of_tree(tree) -> int:
+    flat, _ = jax.flatten_util.ravel_pytree(tree)
+    return flat.nbytes
+
+
+def device_memory_stats():
+    """Per-device allocator statistics where the backend exposes them."""
+    stats = {}
+    for dev in jax.devices():
+        try:
+            stats[str(dev)] = dev.memory_stats()
+        except Exception:
+            stats[str(dev)] = None
+    return stats
+
+
+def workprec(fun, *, precision_fun: Callable, timeit_fun: Callable) -> Callable:
+    """Turn param->(solution, aux) into params->work-precision records.
+
+    Record schema matches the reference exactly (run_simple.py:208-215):
+    list_of_args / length_of_longest_vector / work_min / work_mean /
+    work_std / precision.
+    """
+
+    def parameter_list_to_workprecision(list_of_args, /):
+        works_min, works_mean, works_std = [], [], []
+        precisions, lengths = [], []
+        for arg in list_of_args:
+            sol, aux = fun(arg)
+            precisions.append(precision_fun(sol))
+            lengths.append(len(aux["u0_solve"]))
+            times = timeit_fun(lambda: jax.block_until_ready(fun(arg)[0]))  # noqa: B023
+            works_min.append(min(times))
+            works_mean.append(statistics.mean(times))
+            works_std.append(statistics.stdev(times) if len(times) > 1 else 0.0)
+        return {
+            "list_of_args": list_of_args,
+            "length_of_longest_vector": jnp.asarray(lengths),
+            "work_min": jnp.asarray(works_min),
+            "work_mean": jnp.asarray(works_mean),
+            "work_std": jnp.asarray(works_std),
+            "precision": jnp.asarray(precisions),
+        }
+
+    return parameter_list_to_workprecision

@@ -167,7 +167,7 @@ def error_and_scale(strategy: Strategy, z, jacobians, cache):
     if ssm.name == "isotropic":
         return ssm.error_and_scale_deriv(z, cache, o)
     h_q = ssm.h_q_unit(cache, o, jacobians)
-    return ssm.error_and_scale(z, h_q)
+    return ssm.error_and_scale(z, h_q, cache)
 
 
 def correct(strategy: Strategy, rv_pred, z, jacobians):

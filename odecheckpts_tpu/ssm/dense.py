@@ -138,13 +138,21 @@ class DenseSSM:
         # blocks: (n, d, d) with blocks[j] = column-block j -> (d, nd)
         return jnp.swapaxes(blocks, 0, 1).reshape(self.d, self.ndim)
 
-    def error_and_scale(self, z, h_q):
-        """sigma_hat = sqrt(z^T S^{-1} z / d), err = sigma_hat * sqrt(diag S)."""
+    def error_and_scale(self, z, h_q, cache):
+        """sigma_hat = sqrt(z^T S^{-1} z / d) with S = (H Q^{1/2})(H Q^{1/2})^T.
+
+        As in the isotropic backend, the step-control error estimate is the
+        calibrated process-noise std of the u-components,
+        err_i = sigma_hat * sqrt(Q(dt)_{ii}) = sigma_hat * p_0 * ||Lq[0, :]||
+        (identical across i by the Kronecker structure): order dt^(nu+1).
+        """
+        p, _ = cache
+        _, l_q = self._system(p.dtype)
         r_s = linalg.qr_r(jnp.swapaxes(h_q, -1, -2))  # (d, d) upper, R^T R = S
         white = linalg.tri_solve_lower(jnp.swapaxes(r_s, -1, -2), z[..., None])
         sigma = jnp.sqrt(jnp.sum(white**2) / self.d)
-        err = sigma * jnp.sqrt(jnp.sum(r_s**2, axis=-2))
-        return sigma, err
+        err_u = sigma * p[0] * jnp.sqrt(jnp.sum(l_q[0, :] ** 2))
+        return sigma, jnp.broadcast_to(err_u, (self.d,))
 
     def correct_affine(self, rv, z, h_l):
         """Noise-free affine correction given ``h_l = H @ L`` and residual z."""

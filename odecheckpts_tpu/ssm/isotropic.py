@@ -100,14 +100,20 @@ class IsotropicSSM:
 
         Residual model: z ~ N(0, sigma^2 * (H Q_unit H^T)) with
         H Q^{1/2} = p_o * Lq_bar[o, :] in preconditioned coordinates, so
-        sigma_hat = ||z|| / (s_unit sqrt(d)) and err = sigma_hat * s_unit.
+        sigma_hat = ||z|| / (s_unit sqrt(d)).
+
+        The step-control error estimate lives in *solution units*: the
+        calibrated process-noise standard deviation of the u-component,
+        err = sigma_hat * sqrt(Q(dt)_00) = sigma_hat * p_0 * ||Lq[0, :]||.
+        Its magnitude scales as dt^(nu+1) -- matching the controller's
+        error_contraction_rate = nu+1 and the atol + rtol|u| normalization.
         """
         _, l_q = self._system(z.dtype)
         p, _ = cache
         s_unit = p[o] * jnp.sqrt(jnp.sum(l_q[o, :] ** 2))
         sigma = jnp.sqrt(jnp.sum(z**2)) / (s_unit * jnp.sqrt(1.0 * self.d))
-        err = jnp.broadcast_to(sigma * s_unit, (self.d,))
-        return sigma, err
+        err_u = sigma * p[0] * jnp.sqrt(jnp.sum(l_q[0, :] ** 2))
+        return sigma, jnp.broadcast_to(err_u, (self.d,))
 
     def correct_deriv(self, rv, z, o):
         """Exact constraint update on the o-th derivative (EK0 / TS0).
