@@ -29,6 +29,7 @@ Driver design (TPU-first, SURVEY.md section 7):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, NamedTuple, Optional
 
 import jax
@@ -116,18 +117,19 @@ def _init_state(asolver: AdaptiveSolver, init, t0, dt0) -> _State:
         ident = ssm.identity_conditional(dtype)
     else:
         ident = None
+    scale0 = ssm.promote_output_scale(scale0).astype(dtype)
     return _State(
         t=t0,
         rv=rv0,
         bwd=ident,
-        scale_step=jnp.asarray(scale0, dtype),
+        scale_step=scale0,
         t_prev=t0,
         rv_prev=rv0,
         bwd_prev=ident,
         dt=jnp.asarray(dt0, dtype),
         errn_prev=jnp.ones((), dtype),
         num_steps=jnp.zeros((), jnp.int32),
-        mle_ssq=jnp.zeros((), dtype),
+        mle_ssq=jnp.zeros_like(scale0),
     )
 
 
@@ -174,7 +176,7 @@ def _make_step(vf, asolver: AdaptiveSolver, scale_fixed, dt_max=None):
             tiny = jnp.asarray(jnp.finfo(m_pred.dtype).tiny ** 0.5, m_pred.dtype)
             scale = jnp.maximum(sigma, tiny)
         else:
-            scale = scale_fixed
+            scale = ssm.promote_output_scale(scale_fixed).astype(m_pred.dtype)
         rv_pred, bwd_step = ssm.extrapolate_cov(
             s.rv, m_pred, cache, scale, strategy.needs_reversal
         )
@@ -304,11 +306,28 @@ def _maybe_rescale(solver, state, solution: Solution) -> Solution:
 
 # -- drivers ---------------------------------------------------------------------
 
+def _full_precision(fn):
+    """Trace solver math at full f32 matmul precision.
+
+    TPU matmul/einsum default to bf16 passes; the solver's tiny covariance
+    algebra is latency- (not FLOP-) bound and bf16 noise corrupts the error
+    estimates (observed: 17x step-count inflation on TPU vs CPU at f32).
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 
 def _tree_prepend(first, rest):
     return jax.tree.map(lambda f, r: jnp.concatenate([f[None], r]), first, rest)
 
 
+@_full_precision
 def solve_adaptive_save_at(vf, init, *, save_at, dt0, adaptive_solver):
     """Adaptive solve with O(#save_at) memory (the paper's flagship driver).
 
@@ -338,7 +357,7 @@ def solve_adaptive_save_at(vf, init, *, save_at, dt0, adaptive_solver):
     if conds is not None:
         conds = _tree_prepend(state0.bwd, conds)
     nsteps = _tree_prepend(jnp.zeros((), nsteps.dtype), nsteps)
-    scales = _tree_prepend(jnp.asarray(scale0, scales.dtype), scales)
+    scales = _tree_prepend(ssm.promote_output_scale(scale0).astype(scales.dtype), scales)
 
     sol = Solution(
         t=save_at,
@@ -353,6 +372,7 @@ def solve_adaptive_save_at(vf, init, *, save_at, dt0, adaptive_solver):
     return _maybe_rescale(solver, final, sol)
 
 
+@_full_precision
 def solve_adaptive_terminal_values(vf, init, *, t0, t1, dt0, adaptive_solver):
     """Adaptive solve, keeping only the terminal state (O(1) memory).
 
@@ -379,6 +399,7 @@ def solve_adaptive_terminal_values(vf, init, *, t0, t1, dt0, adaptive_solver):
     return _maybe_rescale(solver, state, sol)
 
 
+@_full_precision
 def solve_adaptive_save_every_step(vf, init, *, t0, t1, dt0, adaptive_solver):
     """Adaptive solve storing EVERY accepted step (O(#steps) memory).
 
@@ -427,6 +448,7 @@ def solve_adaptive_save_every_step(vf, init, *, t0, t1, dt0, adaptive_solver):
     return _maybe_rescale(solver, state, sol)
 
 
+@_full_precision
 def solve_adaptive_save_every_step_bounded(
     vf, init, *, t0, t1, dt0, adaptive_solver, max_steps: int
 ):
@@ -460,7 +482,7 @@ def solve_adaptive_save_every_step_bounded(
     if conds is not None:
         conds = _tree_prepend(state0.bwd, conds)
     nsteps = _tree_prepend(jnp.zeros((), nsteps.dtype), nsteps)
-    scales = _tree_prepend(jnp.asarray(scale0, scales.dtype), scales)
+    scales = _tree_prepend(ssm.promote_output_scale(scale0).astype(scales.dtype), scales)
     valid = _tree_prepend(jnp.asarray(True), accepted & (ts[1:] <= t1))
     sol = Solution(
         t=ts,
@@ -475,6 +497,7 @@ def solve_adaptive_save_every_step_bounded(
     return _maybe_rescale(solver, final2, sol), (valid, (rv_e, cond_e))
 
 
+@_full_precision
 def solve_fixed_grid(vf, init, *, grid, solver):
     """Non-adaptive solve on a user grid (any strategy), one ``lax.scan``.
 
@@ -499,7 +522,7 @@ def solve_fixed_grid(vf, init, *, grid, solver):
             tiny = jnp.asarray(jnp.finfo(dtype).tiny ** 0.5, dtype)
             scale = jnp.maximum(sigma, tiny)
         else:
-            scale = jnp.asarray(scale0, dtype)
+            scale = ssm.promote_output_scale(scale0).astype(dtype)
         rv_pred, bwd = ssm.extrapolate_cov(
             rv, m_pred, cache, scale, strategy.needs_reversal
         )
@@ -513,7 +536,7 @@ def solve_fixed_grid(vf, init, *, grid, solver):
     )
 
     rvs = _tree_prepend(rv0, rvs)
-    scales = _tree_prepend(jnp.asarray(scale0, dtype), scales)
+    scales = _tree_prepend(ssm.promote_output_scale(scale0).astype(dtype), scales)
     if conds is not None:
         conds = _tree_prepend(ssm.identity_conditional(dtype), conds)
 

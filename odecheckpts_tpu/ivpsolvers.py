@@ -164,7 +164,7 @@ def error_and_scale(strategy: Strategy, z, jacobians, cache):
     """
     ssm = strategy.ssm
     o = strategy.correction.ode_order
-    if ssm.name == "isotropic":
+    if ssm.name in ("isotropic", "blockdiag"):
         return ssm.error_and_scale_deriv(z, cache, o)
     h_q = ssm.h_q_unit(cache, o, jacobians)
     return ssm.error_and_scale(z, h_q, cache)
@@ -174,7 +174,7 @@ def correct(strategy: Strategy, rv_pred, z, jacobians):
     """Square-root correction of the predicted state on the ODE constraint."""
     ssm = strategy.ssm
     o = strategy.correction.ode_order
-    if ssm.name == "isotropic":
+    if ssm.name in ("isotropic", "blockdiag"):
         return ssm.correct_deriv(rv_pred, z, o)
     h_l = ssm.h_l_rows(rv_pred.cholesky, o, jacobians)
     return ssm.correct_affine(rv_pred, z, h_l)

@@ -168,7 +168,7 @@ class _RKState(NamedTuple):
     num_steps: jax.Array
 
 
-def solve_rk_save_at(
+def _solve_rk_save_at_impl(
     method: str, vf, y0, *, save_at, dt0, atol, rtol, params=None
 ):
     """Adaptive embedded-RK solve emitting states exactly at ``save_at``.
@@ -246,3 +246,9 @@ def solve_rk_save_at(
     final, ys = jax.lax.scan(per_checkpoint, s0, save_at[1:])
     ys = jnp.concatenate([y0[None], ys])
     return ys, final.num_steps
+
+
+def solve_rk_save_at(*args, **kwargs):
+    """See _solve_rk_save_at_impl; traced at full f32 matmul precision."""
+    with jax.default_matmul_precision("float32"):
+        return _solve_rk_save_at_impl(*args, **kwargs)

@@ -1,10 +1,15 @@
 """SSM backends: isotropic / dense (+ blockdiag) square-root factorizations."""
 
 from .base import Conditional, MarkovSeq, Normal, Solution  # noqa: F401
+from .blockdiag import BlockDiagSSM  # noqa: F401
 from .dense import DenseSSM  # noqa: F401
 from .isotropic import IsotropicSSM  # noqa: F401
 
-_REGISTRY = {"isotropic": IsotropicSSM, "dense": DenseSSM}
+_REGISTRY = {
+    "isotropic": IsotropicSSM,
+    "dense": DenseSSM,
+    "blockdiag": BlockDiagSSM,
+}
 
 
 def choose(implementation: str, *, ode_shape: tuple, num_derivatives: int):

@@ -56,6 +56,9 @@ class DenseSSM:
         chol = jnp.zeros((self.ndim, self.ndim), mean.dtype)
         return Normal(mean, chol)
 
+    def promote_output_scale(self, scale):
+        return jnp.asarray(scale)
+
     def qoi(self, mean):
         return mean[..., : self.d]
 

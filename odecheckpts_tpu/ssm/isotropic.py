@@ -51,6 +51,9 @@ class IsotropicSSM:
         chol = jnp.zeros((self.n, self.n), mean.dtype)
         return Normal(mean, chol)
 
+    def promote_output_scale(self, scale):
+        return jnp.asarray(scale)
+
     def qoi(self, mean):
         return mean[..., 0, :]
 

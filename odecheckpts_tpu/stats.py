@@ -15,10 +15,23 @@ is consulted (contrast: probdiffeq's ``impl``).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from .ssm.base import MarkovSeq, Normal
+
+
+def _full_precision(fn):
+    """Posterior algebra at full f32 matmul precision (see ivpsolve)."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def markov_select_terminal(posterior: MarkovSeq) -> MarkovSeq:
@@ -30,6 +43,7 @@ def markov_select_terminal(posterior: MarkovSeq) -> MarkovSeq:
     return MarkovSeq(init=init, conditional=conds, ssm=posterior.ssm)
 
 
+@_full_precision
 def markov_marginals(seq: MarkovSeq, *, reverse: bool = True) -> Normal:
     """Marginals of all non-terminal states by backward marginalization.
 
@@ -49,6 +63,7 @@ def markov_marginals(seq: MarkovSeq, *, reverse: bool = True) -> Normal:
     return marginals
 
 
+@_full_precision
 def markov_sample(key, seq: MarkovSeq, *, shape=(), reverse: bool = True):
     """Joint posterior samples along the Markov sequence.
 
@@ -91,6 +106,7 @@ def markov_sample(key, seq: MarkovSeq, *, shape=(), reverse: bool = True):
     return (qoi, samples), (qoi_terminal, sample_terminal)
 
 
+@_full_precision
 def log_marginal_likelihood(data, *, standard_deviation, posterior: MarkovSeq):
     """Gaussian log-marginal likelihood of observations of the qoi.
 
@@ -119,6 +135,7 @@ def log_marginal_likelihood(data, *, standard_deviation, posterior: MarkovSeq):
     return ll_terminal + jnp.sum(lls)
 
 
+@_full_precision
 def offgrid_marginals_searchsorted(*, ts, solution, solver):
     """Smoothing marginals at off-grid times by searchsorted interpolation.
 
