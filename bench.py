@@ -22,10 +22,13 @@ import jax.numpy as jnp
 
 # Reference work_min (seconds per solve) decoded from the committed
 # experiments/2_workprec_simple/data_results.npy, key "TS0(4) (jit loop)"
-# (BASELINE.md experiment 2): tolerance -> seconds.
+# (BASELINE.md experiment 2).  NB the reference multiplies the labeled
+# tolerance by 100 before building the solver (run_simple.py:40-42), so the
+# rows labeled 1e-3 / 1e-5 ran the probabilistic solver at rtol 1e-1 / 1e-3
+# with atol = 1e-3 * rtol -- the exact configs reproduced here (f32-safe).
 _REFERENCE_SECONDS_PER_SOLVE = {
-    1e-3: 0.0145,
-    1e-5: 0.0185,
+    1e-1: 0.0145,
+    1e-3: 0.0185,
 }
 
 

@@ -229,13 +229,20 @@ def _interpolate_at(strategy, state: _State, t):
     maps x(t) back to the *previous* checkpoint (compose(bwd_prev, B1)); the
     continuing state's accumulator is reset to B2 = p(x(t) | x(state.t)),
     obtained by reverse-extrapolating the interpolated marginal.
+
+    Near-degenerate sub-intervals (a step landing ~exactly on the checkpoint)
+    are snapped to exact identity conditionals with the grad-safe double-where
+    pattern: at dt below ~eps^(3/4) the preconditioned reversal loses the
+    dt^(i-j) off-diagonal structure to roundoff (overflowing in f32), while
+    the true conditional is identity to within state resolution anyway.
     """
     ssm = strategy.ssm
     dtype = state.rv.mean.dtype
     fixedpoint = strategy.kind == _solvers.FIXEDPOINT
     needs_rev = strategy.needs_reversal
     ident = ssm.identity_conditional(dtype) if needs_rev else None
-    tiny = _dt_floor(ssm, dtype)
+    eps_soft = jnp.asarray(float(jnp.finfo(dtype).eps) ** 0.75, dtype)
+    thresh = eps_soft * jnp.maximum(jnp.abs(jnp.asarray(t, dtype)), 1.0)
 
     def exact(_):
         emit = (state.rv, state.bwd)
@@ -245,22 +252,33 @@ def _interpolate_at(strategy, state: _State, t):
         return emit, new
 
     def interp(_):
-        dt1 = jnp.maximum(t - state.t_prev, tiny)
-        m1, cache1 = ssm.extrapolate_mean(state.rv_prev.mean, dt1)
+        # Interpolation uses the *direct* (unpreconditioned) extrapolation:
+        # sub-intervals can be arbitrarily short relative to the state
+        # covariance, where the preconditioned reversal amplifies roundoff
+        # (see prior.phi_direct).
+        dt1_raw = t - state.t_prev
+        close1 = dt1_raw <= thresh
+        dt1 = jnp.where(close1, jnp.ones((), dtype), dt1_raw)  # sanitized input
         if not needs_rev:
-            rv_t, _ = ssm.extrapolate_cov(
-                state.rv_prev, m1, cache1, state.scale_step, False
+            rv_t, _ = ssm.extrapolate_direct(
+                state.rv_prev, dt1, state.scale_step, False
             )
+            rv_t = _tree_select(close1, state.rv_prev, rv_t)
             emit = (rv_t, None)
             new = state._replace(t_prev=jnp.asarray(t, dtype), rv_prev=rv_t)
             return emit, new
-        rv_t, b1 = ssm.extrapolate_cov(
-            state.rv_prev, m1, cache1, state.scale_step, True
+        rv_t, b1 = ssm.extrapolate_direct(
+            state.rv_prev, dt1, state.scale_step, True
         )
+        rv_t = _tree_select(close1, state.rv_prev, rv_t)
+        b1 = _tree_select(close1, ident, b1)
         emit_cond = ssm.compose(state.bwd_prev, b1) if fixedpoint else b1
-        dt2 = jnp.maximum(state.t - t, tiny)
-        m2, cache2 = ssm.extrapolate_mean(rv_t.mean, dt2)
-        _, b2 = ssm.extrapolate_cov(rv_t, m2, cache2, state.scale_step, True)
+
+        dt2_raw = state.t - t
+        close2 = dt2_raw <= thresh
+        dt2 = jnp.where(close2, jnp.ones((), dtype), dt2_raw)
+        _, b2 = ssm.extrapolate_direct(rv_t, dt2, state.scale_step, True)
+        b2 = _tree_select(close2, ident, b2)
         new = state._replace(
             bwd=b2, t_prev=jnp.asarray(t, dtype), rv_prev=rv_t, bwd_prev=ident
         )

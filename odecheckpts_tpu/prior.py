@@ -34,7 +34,7 @@ import functools
 import math
 
 import jax.numpy as jnp
-import numpy as np
+import numpy as np  # noqa: F401  (host-side constants)
 
 
 @functools.lru_cache(maxsize=None)
@@ -56,6 +56,30 @@ def system_matrices(num_derivatives: int, dtype):
     """dt-independent (A, chol(Qbar)) of the preconditioned IBM transition."""
     a, l_q, _ = _ibm_constants_f64(num_derivatives)
     return jnp.asarray(a, dtype=dtype), jnp.asarray(l_q, dtype=dtype)
+
+
+def phi_direct(dt, num_derivatives: int):
+    """The unpreconditioned transition Phi(dt)_ij = dt^(j-i)/(j-i)!.
+
+    Used for *interpolation* reversals: when the state covariance dwarfs the
+    process noise of a short sub-interval, the preconditioned reversal
+    amplifies roundoff by p_i/p_j (catastrophic in f32), while the direct form
+    is well-scaled (all entries <= max(1, dt)^nu and no P^{-1} appears).
+    """
+    nu = num_derivatives
+    n = nu + 1
+    dt = jnp.asarray(dt)
+    ones = jnp.ones((n,), dtype=dt.dtype)
+    powers = jnp.cumprod(jnp.where(jnp.arange(n) == 0, 1.0, dt) * ones)  # dt^k
+    i = np.arange(n)
+    k = i[None, :] - i[:, None]  # j - i
+    mask = (k >= 0).astype(float)
+    inv_fact = np.zeros((n, n))
+    for r in range(n):
+        for c in range(r, n):
+            inv_fact[r, c] = 1.0 / math.factorial(c - r)
+    coeff = jnp.asarray(mask * inv_fact, dtype=dt.dtype)
+    return coeff * powers[jnp.clip(jnp.asarray(k), 0, nu)]
 
 
 def preconditioner(dt, num_derivatives: int):

@@ -96,6 +96,24 @@ class BlockDiagSSM:
         bwd = Conditional(gain, Normal(noise_mean, p[None, :, None] * l_bwd_bar))
         return Normal(m_pred, l_pred), bwd
 
+
+    def extrapolate_direct(self, rv, dt, output_scale, reversal):
+        """Unpreconditioned extrapolation (see isotropic.extrapolate_direct)."""
+        phi = prior.phi_direct(dt, self.num_derivatives)
+        p, _ = prior.preconditioner(dt, self.num_derivatives)
+        _, l_q = self._system(rv.mean.dtype)
+        q_chol = output_scale[..., :, None, None] * (p[:, None] * l_q)[None, :, :]
+        m_pred = jnp.einsum("ij,...dj->...di", phi, rv.mean)
+        a_l = jnp.einsum("ij,...djk->...dik", phi, rv.cholesky)
+        if not reversal:
+            l_pred = linalg.chol_from_stack(
+                jnp.swapaxes(a_l, -1, -2), jnp.swapaxes(q_chol, -1, -2)
+            )
+            return Normal(m_pred, l_pred), None
+        l_pred, gain, l_bwd = linalg.revert_markov(a_l, q_chol, rv.cholesky)
+        noise_mean = rv.mean - jnp.einsum("...dij,...dj->...di", gain, m_pred)
+        return Normal(m_pred, l_pred), Conditional(gain, Normal(noise_mean, l_bwd))
+
     # -- TS0 correction --------------------------------------------------------
 
     def error_and_scale_deriv(self, z, cache, o):

@@ -121,6 +121,27 @@ class DenseSSM:
         bwd = Conditional(gain, Normal(noise_mean, p[:, None] * l_bwd_bar))
         return Normal(m_pred, l_pred), bwd
 
+
+    def extrapolate_direct(self, rv, dt, output_scale, reversal):
+        """Unpreconditioned extrapolation (see isotropic.extrapolate_direct)."""
+        phi = prior.phi_direct(dt, self.num_derivatives)
+        p_scal, _ = prior.preconditioner(dt, self.num_derivatives)
+        _, l_q = self._system(rv.mean.dtype)
+        q_chol = jnp.kron(
+            output_scale * (p_scal[:, None] * l_q),
+            jnp.eye(self.d, dtype=rv.mean.dtype),
+        )
+        m_pred = self._apply_a(phi, rv.mean, matrix=False)
+        a_l = self._apply_a(phi, rv.cholesky, matrix=True)
+        if not reversal:
+            l_pred = linalg.chol_from_stack(
+                jnp.swapaxes(a_l, -1, -2), jnp.swapaxes(q_chol, -1, -2)
+            )
+            return Normal(m_pred, l_pred), None
+        l_pred, gain, l_bwd = linalg.revert_markov(a_l, q_chol, rv.cholesky)
+        noise_mean = rv.mean - (gain @ m_pred[..., None])[..., 0]
+        return Normal(m_pred, l_pred), Conditional(gain, Normal(noise_mean, l_bwd))
+
     # -- TS0/TS1 corrections ---------------------------------------------------
 
     def h_q_unit(self, cache, o, jacobians):

@@ -96,6 +96,30 @@ class IsotropicSSM:
         bwd = Conditional(gain, Normal(noise_mean, p[:, None] * l_bwd_bar))
         return Normal(m_pred, l_pred), bwd
 
+
+    def extrapolate_direct(self, rv, dt, output_scale, reversal):
+        """Extrapolation in unpreconditioned coordinates (interpolation path).
+
+        Exact same semantics as extrapolate_mean + extrapolate_cov, but formed
+        from Phi(dt) and chol(Q(dt)) = P Lq directly: no P^{-1} appears, so no
+        roundoff amplification when the state covariance dwarfs Q(dt) (short
+        sub-intervals inside long accepted steps); see prior.phi_direct.
+        """
+        phi = prior.phi_direct(dt, self.num_derivatives)
+        p, _ = prior.preconditioner(dt, self.num_derivatives)
+        _, l_q = self._system(rv.mean.dtype)
+        q_chol = output_scale * (p[:, None] * l_q)
+        m_pred = phi @ rv.mean
+        a_l = phi @ rv.cholesky
+        if not reversal:
+            l_pred = linalg.chol_from_stack(
+                jnp.swapaxes(a_l, -1, -2), jnp.swapaxes(q_chol, -1, -2)
+            )
+            return Normal(m_pred, l_pred), None
+        l_pred, gain, l_bwd = linalg.revert_markov(a_l, q_chol, rv.cholesky)
+        noise_mean = rv.mean - gain @ m_pred
+        return Normal(m_pred, l_pred), Conditional(gain, Normal(noise_mean, l_bwd))
+
     # -- TS0 correction -------------------------------------------------------
 
     def error_and_scale_deriv(self, z, cache, o):

@@ -165,14 +165,19 @@ def offgrid_marginals_searchsorted(*, ts, solution, solver):
         rv_f = jax.tree.map(lambda x: x[idx - 1], posterior.init)
         ms = jax.tree.map(lambda x: x[idx], smoothing)
         scale = solution.output_scale[idx]
-        tiny = jnp.asarray(jnp.finfo(grid.dtype).tiny ** 0.5, grid.dtype)
-        dt1 = jnp.maximum(tau - grid[idx - 1], tiny)
-        dt2 = jnp.maximum(grid[idx] - tau, tiny)
-        m1, c1 = ssm.extrapolate_mean(rv_f.mean, dt1)
-        rv_tau, _ = ssm.extrapolate_cov(rv_f, m1, c1, scale, False)
-        m2, c2 = ssm.extrapolate_mean(rv_tau.mean, dt2)
-        _, bwd = ssm.extrapolate_cov(rv_tau, m2, c2, scale, True)
-        return ssm.marginalize(ms, bwd)
+        # grad-safe double-where: degenerate sub-intervals snap to the grid
+        # state (see ivpsolve._interpolate_at for the f32 rationale)
+        eps_soft = jnp.asarray(float(jnp.finfo(grid.dtype).eps) ** 0.75, grid.dtype)
+        thresh = eps_soft * jnp.maximum(jnp.abs(tau), 1.0)
+        close1 = tau - grid[idx - 1] <= thresh
+        close2 = grid[idx] - tau <= thresh
+        dt1 = jnp.where(close1, jnp.ones((), grid.dtype), tau - grid[idx - 1])
+        dt2 = jnp.where(close2, jnp.ones((), grid.dtype), grid[idx] - tau)
+        rv_tau, _ = ssm.extrapolate_direct(rv_f, dt1, scale, False)
+        rv_tau = jax.tree.map(lambda a, b: jnp.where(close1, a, b), rv_f, rv_tau)
+        _, bwd = ssm.extrapolate_direct(rv_tau, dt2, scale, True)
+        smoothed = ssm.marginalize(ms, bwd)
+        return jax.tree.map(lambda a, b: jnp.where(close2, a, b), ms, smoothed)
 
     marginals = jax.vmap(interp_one)(jnp.asarray(ts, grid.dtype))
     return ssm.qoi(marginals.mean), marginals
