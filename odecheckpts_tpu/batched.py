@@ -1,0 +1,534 @@
+"""Fused batched adaptive solver: the whole accept/reject step as ONE kernel.
+
+Profiling on TPU v5e shows the generic (vmapped) adaptive step costs ~165us
+per iteration at batch 1024 while a trivial while-loop iteration costs ~0.5us:
+the body fragments into ~100 tiny XLA kernels whose launch overhead dominates
+(the actual math is ~2 MFLOP).  This module rebuilds the isotropic-TS0 step in
+*lanes-last* layout -- every array carries the IVP-ensemble axis as its last
+(128-lane) dimension -- as one pure-jnp function that runs either
+
+* directly under XLA (``engine="xla"``; the correctness yardstick), or
+* as a single Pallas (Mosaic) kernel per while-iteration (``engine="pallas"``),
+  collapsing the launch overhead.
+
+All IBM system constants (the Pascal transition, the Hilbert-type noise
+cholesky) are embedded as Python float literals in unrolled loops, so the
+kernel captures no arrays; QR factorizations are the unrolled Householder
+elimination over lanes (cf. pallas_kernels.batched_qr_r).
+
+Scope: isotropic backend, TS0, ode_order=1, filter or fixedpoint strategy,
+dynamic or fixed calibration -- the flagship benchmark configuration
+(BASELINE.json).  The generic vmapped path in ``parallel`` covers everything
+else.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import prior
+from .ivpsolve import _interpolate_at, _State
+from .ssm.base import Conditional, Normal
+
+LANES = 128
+
+# state tuple layout (all lanes-last):
+#   0 t (1,B)        1 mean (n,d,B)    2 chol (n,n,B)
+#   3 bwdG (n,n,B)   4 bwd_m (n,d,B)   5 bwd_L (n,n,B)
+#   6 scale (1,B)    7 t_prev (1,B)    8 mean_prev      9 chol_prev
+#   10 bwdG_prev     11 bwd_m_prev     12 bwd_L_prev
+#   13 dt (1,B)      14 errn_prev (1,B) 15 nsteps (1,B) f32  16 mle (1,B)
+NUM_STATE = 17
+
+
+def _constants(nu):
+    a, l_q, _ = prior._ibm_constants_f64(nu)
+    return (
+        [[float(x) for x in row] for row in np.asarray(a)],
+        [[float(x) for x in row] for row in np.asarray(l_q)],
+        [float(np.linalg.norm(np.asarray(l_q)[k, :])) for k in range(nu + 1)],
+        [1.0 / math.factorial(nu - i) for i in range(nu + 1)],
+    )
+
+
+def _qr_r_ll(x, m, n):
+    """Upper-triangular R of a (m, n, B) stack; lanes-last Householder."""
+    eps = jnp.finfo(x.dtype).tiny
+    k = min(m, n)
+    for j in range(min(n, m - 1)):
+        col = x[j:, j, :]
+        norm = jnp.sqrt(jnp.sum(col * col, axis=0, keepdims=True) + eps)
+        sign = jnp.where(col[:1, :] >= 0, 1.0, -1.0).astype(x.dtype)
+        alpha = -sign * norm
+        v = jnp.concatenate([col[:1, :] - alpha, col[1:, :]], axis=0)
+        vnorm2 = jnp.sum(v * v, axis=0, keepdims=True)
+        safe = vnorm2 > eps
+        inv = jnp.where(safe, 2.0 / jnp.where(safe, vnorm2, 1.0), 0.0)
+        block = x[j:, j:, :]
+        coeff = jnp.sum(v[:, None, :] * block, axis=0)
+        block = block - inv[:, None, :] * v[:, None, :] * coeff[None, :, :]
+        bottom = jnp.concatenate([x[j:, :j, :], block], axis=1)
+        x = jnp.concatenate([x[:j, :, :], bottom], axis=0)
+    return x[:k, :, :]
+
+
+def _tri_solve_upper_ll(r, b, n):
+    """Solve R X = B for upper-triangular (n, n, B) R and (n, n, B) B."""
+    rows = [None] * n
+    for i in reversed(range(n)):
+        acc = b[i]
+        for j in range(i + 1, n):
+            acc = acc - r[i, j, :][None, :] * rows[j]
+        rows[i] = acc / r[i, i, :][None, :]
+    return jnp.stack(rows, axis=0)
+
+
+def _const_matmul(a_rows, x):
+    """(n, n) python-literal matrix times (n, ..., B) stack."""
+    out = []
+    for row in a_rows:
+        acc = None
+        for j, c in enumerate(row):
+            if c == 0.0:
+                continue
+            term = x[j] if c == 1.0 else c * x[j]
+            acc = term if acc is None else acc + term
+        out.append(acc if acc is not None else jnp.zeros_like(x[0]))
+    return jnp.stack(out, axis=0)
+
+
+def _matmul_ll(a, b, n):
+    """(n, n, B) @ (n, k, B) batched over lanes."""
+    return jnp.einsum("ijB,jkB->ikB", a, b)
+
+
+def make_step_ll(vf_batched, *, nu, d, atol_factor_unused=None, strategy="fixedpoint",
+                 calibration="dynamic", control=None):
+    """Lanes-last adaptive attempt; pure jnp (usable inside a Pallas kernel)."""
+    from .ivpsolve import Control
+
+    ctrl = control or Control()
+    n = nu + 1
+    a_rows, lq_rows, lq_norms, inv_fact = _constants(nu)
+    fixedpoint = strategy == "fixedpoint"
+    needs_rev = strategy != "filter"
+    sqrt_d = math.sqrt(1.0 * d)
+    n1 = ctrl.power_integral / (nu + 1.0)
+    n2 = ctrl.power_proportional / (nu + 1.0)
+
+    def precond(dt):
+        # p_i = sqrt(dt) dt^(nu-i)/(nu-i)! as a list of (1, B) arrays
+        pows = [None] * (n)
+        pows[nu] = jnp.ones_like(dt)
+        for i in reversed(range(nu)):
+            pows[i] = pows[i + 1] * dt
+        sq = jnp.sqrt(dt)
+        return [sq * pows[i] * inv_fact[i] for i in range(n)]
+
+    def step(state, t_next, atol, rtol, dt_max, dt_floor, tiny_scale):
+        (t, mean, chol, bwdG, bwd_m, bwd_L, scale, t_prev, mean_prev, chol_prev,
+         bwdG_prev, bwd_m_prev, bwd_L_prev, dt_st, errn_prev, nsteps, mle) = state
+
+        dt = jnp.clip(dt_st, dt_floor, dt_max)
+        p = precond(dt)  # list of (1, B)
+        p_arr = jnp.concatenate(p, axis=0)  # (n, B)
+        t_new = t + dt
+
+        # -- extrapolate mean: m_pred = P A P^-1 m
+        m_bar = mean / p_arr[:, None, :]
+        m_bar_pred = _const_matmul(a_rows, m_bar)
+        m_pred = p_arr[:, None, :] * m_bar_pred
+
+        # -- linearize (TS0, o=1)
+        u_pred = m_pred[0]  # (d, B)
+        fx = vf_batched(u_pred, t_new)
+        z = m_pred[1] - fx  # (d, B)
+
+        # -- local scale + error (solution units)
+        s_unit = p[1] * lq_norms[1]  # (1, B)
+        sigma = jnp.sqrt(jnp.sum(z * z, axis=0, keepdims=True)) / (s_unit * sqrt_d)
+        err_u = sigma * (p[0] * lq_norms[0])  # (1, B)
+        # errn = rms_d(err_u / (atol + rtol |u|)); err_u is constant across d
+        errn = err_u * jnp.sqrt(
+            jnp.mean(1.0 / (atol + rtol * jnp.abs(u_pred)) ** 2, axis=0, keepdims=True)
+        )
+
+        if calibration == "dynamic":
+            new_scale = jnp.maximum(sigma, tiny_scale)
+        else:
+            new_scale = scale
+
+        # -- extrapolate covariance (+ reversal) in preconditioned coords
+        l_bar = chol / p_arr[:, None, :]
+        a_l = _const_matmul(a_rows, l_bar)  # (n, n, B)
+        lq = jnp.stack(
+            [jnp.stack([jnp.full_like(dt[0], c) for c in row], axis=0) for row in lq_rows],
+            axis=0,
+        )  # (n, n, B) constant rows broadcast
+        lq_scaled = new_scale[None, :, :] * lq
+
+        if needs_rev:
+            top = jnp.concatenate(
+                [jnp.swapaxes(a_l, 0, 1), jnp.swapaxes(l_bar, 0, 1)], axis=1
+            )  # (n, 2n, B)
+            bot = jnp.concatenate(
+                [jnp.swapaxes(lq_scaled, 0, 1), jnp.zeros_like(lq)], axis=1
+            )
+            r = _qr_r_ll(jnp.concatenate([top, bot], axis=0), 2 * n, 2 * n)
+            r_yy = r[:n, :n, :]
+            r_yx = r[:n, n:, :]
+            r_xx = r[n:, n:, :]
+            l_pred_bar = jnp.swapaxes(r_yy, 0, 1)
+            g_bar = jnp.swapaxes(_tri_solve_upper_ll(r_yy, r_yx, n), 0, 1)
+            l_bwd_bar = jnp.swapaxes(r_xx, 0, 1)
+            l_pred = p_arr[:, None, :] * l_pred_bar
+            gain = p_arr[:, None, :] * g_bar / p_arr[None, :, :]
+            bwd_L_step = p_arr[:, None, :] * l_bwd_bar
+            bwd_m_step = mean - _matmul_ll(gain, m_pred, n)
+        else:
+            stack = jnp.concatenate(
+                [jnp.swapaxes(a_l, 0, 1), jnp.swapaxes(lq_scaled, 0, 1)], axis=0
+            )  # (2n, n, B)
+            r = _qr_r_ll(stack, 2 * n, n)
+            l_pred = p_arr[:, None, :] * jnp.swapaxes(r, 0, 1)
+            gain = bwd_m_step = bwd_L_step = None
+
+        # -- TS0 correction (rank-1 Potter update on derivative 1)
+        l_obs = l_pred[1, :, :]  # (n, B)
+        s2 = jnp.sum(l_obs * l_obs, axis=0, keepdims=True)
+        crosscov = jnp.sum(l_pred * l_obs[None, :, :], axis=1)  # (n, B)
+        g_corr = crosscov / s2
+        mean_cor = m_pred - g_corr[:, None, :] * z[None, :, :]
+        chol_cor = l_pred - g_corr[:, None, :] * l_obs[None, :, :]
+
+        # -- fixedpoint accumulation
+        if needs_rev:
+            if fixedpoint:
+                bwdG_new = _matmul_ll(bwdG, gain, n)
+                bwd_m_new = _matmul_ll(bwdG, bwd_m_step, n) + bwd_m
+                stack = jnp.concatenate(
+                    [
+                        jnp.swapaxes(_matmul_ll(bwdG, bwd_L_step, n), 0, 1),
+                        jnp.swapaxes(bwd_L, 0, 1),
+                    ],
+                    axis=0,
+                )
+                bwd_L_new = jnp.swapaxes(_qr_r_ll(stack, 2 * n, n), 0, 1)
+            else:
+                bwdG_new, bwd_m_new, bwd_L_new = gain, bwd_m_step, bwd_L_step
+        else:
+            bwdG_new, bwd_m_new, bwd_L_new = bwdG, bwd_m, bwd_L
+
+        # -- PI control
+        errn_s = jnp.maximum(errn, jnp.finfo(errn.dtype).tiny)
+        factor = ctrl.safety * jnp.exp(
+            -n1 * jnp.log(errn_s) + n2 * (jnp.log(errn_prev) - jnp.log(errn_s))
+        )
+        factor = jnp.where(jnp.isfinite(factor), factor, ctrl.factor_min)
+        dt_next = jnp.minimum(
+            dt * jnp.clip(factor, ctrl.factor_min, ctrl.factor_max), dt_max
+        )
+
+        eps = jnp.finfo(dt.dtype).eps
+        dt_stall = 4.0 * eps * jnp.maximum(jnp.abs(t), 1.0)
+        frozen = t >= t_next
+        accept = ((errn <= 1.0) | (dt <= dt_stall)) & ~frozen
+        upd = ~frozen
+
+        def sel(acc, old, mask=None):
+            mask_ = accept if mask is None else mask
+            # broadcast (1,B) mask onto arbitrary lanes-last arrays
+            while mask_.ndim < acc.ndim:
+                mask_ = mask_[None]
+            return jnp.where(mask_, acc, old)
+
+        return (
+            sel(t_new, t),
+            sel(mean_cor, mean),
+            sel(chol_cor, chol),
+            sel(bwdG_new, bwdG),
+            sel(bwd_m_new, bwd_m),
+            sel(bwd_L_new, bwd_L),
+            sel(new_scale, scale),
+            sel(t, t_prev),
+            sel(mean, mean_prev),
+            sel(chol, chol_prev),
+            sel(bwdG, bwdG_prev),
+            sel(bwd_m, bwd_m_prev),
+            sel(bwd_L, bwd_L_prev),
+            sel(dt_next, dt_st, mask=upd),
+            sel(errn_s, errn_prev),
+            sel(nsteps + 1.0, nsteps),  # accepted steps only (generic parity)
+            sel(mle + sigma * sigma, mle),
+        )
+
+    return step
+
+
+def _pallas_step(step_fn, interpret=False):
+    """Wrap a lanes-last step as ONE Pallas kernel over 128-lane tiles."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(*refs):
+        n_in = NUM_STATE + 6
+        ins = [r[...] for r in refs[:n_in]]
+        state = tuple(ins[:NUM_STATE])
+        t_next, atol, rtol, dt_max, dt_floor, tiny_scale = ins[NUM_STATE:]
+        outs = step_fn(state, t_next, atol, rtol, dt_max, dt_floor, tiny_scale)
+        for r, o in zip(refs[n_in:], outs):
+            r[...] = o
+
+    def call(state, t_next, atol, rtol, dt_max, dt_floor, tiny_scale):
+        b = state[0].shape[-1]
+        grid = (b // LANES,)
+
+        def spec(arr):
+            nd = arr.ndim
+            block = arr.shape[:-1] + (LANES,)
+            idx = {
+                2: lambda i: (0, i),
+                3: lambda i: (0, 0, i),
+            }[nd]
+            return pl.BlockSpec(block, idx, memory_space=pltpu.VMEM)
+
+        operands = list(state) + [t_next, atol, rtol, dt_max, dt_floor, tiny_scale]
+        out_shape = [jax.ShapeDtypeStruct(s.shape, s.dtype) for s in state]
+        out_specs = [spec(s) for s in state]
+        return tuple(
+            pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[spec(x) for x in operands],
+                out_specs=out_specs,
+                out_shape=out_shape,
+                interpret=interpret,
+            )(*operands)
+        )
+
+    return call
+
+
+def _state_to_generic(state, ssm, needs_rev):
+    """Lanes-last tuple -> vmapped generic _State (leading batch axis)."""
+
+    def t3(x):  # (a, b, B) -> (B, a, b)
+        return jnp.moveaxis(x, -1, 0)
+
+    def t1(x):  # (1, B) -> (B,)
+        return x[0]
+
+    rv = Normal(t3(state[1]), t3(state[2]))
+    rv_prev = Normal(t3(state[8]), t3(state[9]))
+    if needs_rev:
+        bwd = Conditional(t3(state[3]), Normal(t3(state[4]), t3(state[5])))
+        bwd_prev = Conditional(t3(state[10]), Normal(t3(state[11]), t3(state[12])))
+    else:
+        bwd = bwd_prev = None
+    return _State(
+        t=t1(state[0]),
+        rv=rv,
+        bwd=bwd,
+        scale_step=t1(state[6]),
+        t_prev=t1(state[7]),
+        rv_prev=rv_prev,
+        bwd_prev=bwd_prev,
+        dt=t1(state[13]),
+        errn_prev=t1(state[14]),
+        num_steps=t1(state[15]).astype(jnp.int32),
+        mle_ssq=t1(state[16]),
+    )
+
+
+def _generic_to_state(s: _State, needs_rev, dtype):
+    def t3(x):
+        return jnp.moveaxis(x, 0, -1)
+
+    def t1(x):
+        return x[None].astype(dtype)
+
+    if needs_rev:
+        bparts = (t3(s.bwd.matrix), t3(s.bwd.noise.mean), t3(s.bwd.noise.cholesky))
+        bprev = (
+            t3(s.bwd_prev.matrix),
+            t3(s.bwd_prev.noise.mean),
+            t3(s.bwd_prev.noise.cholesky),
+        )
+    else:
+        zG = jnp.zeros_like(t3(s.rv.cholesky))
+        zm = jnp.zeros_like(t3(s.rv.mean))
+        bparts = bprev = (zG, zm, zG)
+    return (
+        t1(s.t),
+        t3(s.rv.mean),
+        t3(s.rv.cholesky),
+        *bparts,
+        t1(s.scale_step),
+        t1(s.t_prev),
+        t3(s.rv_prev.mean),
+        t3(s.rv_prev.cholesky),
+        *bprev,
+        t1(s.dt),
+        t1(s.errn_prev),
+        t1(s.num_steps.astype(dtype)),
+        t1(s.mle_ssq),
+    )
+
+
+def solve_save_at_batched(
+    vf,
+    u0s,
+    params,
+    *,
+    save_at,
+    dt0,
+    tols,
+    num_derivatives=4,
+    strategy="fixedpoint",
+    calibration="dynamic",
+    atol_factor=1e-3,
+    engine="pallas",
+    interpret=False,
+    taylor_fn=None,
+):
+    """Batched fixed-memory adaptive solve, fused step kernel.
+
+    ``u0s``: (B, d); ``tols``: (B,) relative tolerances.  Returns
+    (smoothed u (B, T, d), filtering u (B, T, d), num_steps (B, T)).
+    Engine "xla" runs the identical lanes-last step without Pallas (used as
+    the equivalence oracle in tests).
+    """
+    from . import ivpsolvers, stats, taylor
+
+    b, d = u0s.shape
+    pad = (-b) % LANES
+    if pad:
+        u0s = jnp.concatenate([u0s, jnp.tile(u0s[:1], (pad, 1))])
+        tols = jnp.concatenate([tols, jnp.full((pad,), tols[0], tols.dtype)])
+    bb = u0s.shape[0]
+    dtype = u0s.dtype
+    nu = num_derivatives
+    save_at = jnp.asarray(save_at, dtype)
+
+    ssm = ivpsolvers.prior_ibm(num_derivatives=nu, ode_shape=(d,))
+    corr = ivpsolvers.correction_ts0()
+    strat = {
+        "filter": ivpsolvers.strategy_filter,
+        "fixedpoint": ivpsolvers.strategy_fixedpoint,
+    }[strategy](ssm, corr)
+    solver_cfg = (
+        ivpsolvers.solver_dynamic(strat)
+        if calibration == "dynamic"
+        else ivpsolvers.solver(strat)
+    )
+    needs_rev = strat.needs_reversal
+
+    def vf_p(u, *, t):
+        return vf(u, t=t, p=params)
+
+    vf_batched = jax.vmap(lambda u, t: vf_p(u, t=t[0]), in_axes=(-1, -1), out_axes=-1)
+
+    def vfb(u_dB, t_1B):
+        return vf_batched(u_dB, jnp.broadcast_to(t_1B, (1, u_dB.shape[-1])))
+
+    # Taylor init per lane (vmapped; one-time cost)
+    def init_one(u0):
+        tco = taylor.odejet_padded_scan(lambda u: vf_p(u, t=save_at[0]), (u0,), num=nu)
+        return solver_cfg.initial_condition(tco, jnp.ones((), dtype))
+
+    rv0, scale0 = jax.vmap(init_one)(u0s)
+
+    ident = ssm.identity_conditional(dtype)
+    ident_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (bb,) + x.shape), ident)
+    s0_generic = _State(
+        t=jnp.full((bb,), save_at[0], dtype),
+        rv=rv0,
+        bwd=ident_b if needs_rev else None,
+        scale_step=scale0,
+        t_prev=jnp.full((bb,), save_at[0], dtype),
+        rv_prev=rv0,
+        bwd_prev=ident_b if needs_rev else None,
+        dt=jnp.full((bb,), dt0, dtype),
+        errn_prev=jnp.ones((bb,), dtype),
+        num_steps=jnp.zeros((bb,), jnp.int32),
+        mle_ssq=jnp.zeros((bb,), dtype),
+    )
+    state0 = _generic_to_state(s0_generic, needs_rev, dtype)
+
+    step_ll = make_step_ll(
+        vfb, nu=nu, d=d, strategy=strategy, calibration=calibration
+    )
+    if engine == "pallas":
+        step_call = _pallas_step(step_ll, interpret=interpret)
+    else:
+        step_call = step_ll
+
+    atol = (atol_factor * tols)[None, :].astype(dtype)
+    rtol = tols[None, :].astype(dtype)
+    dt_max_v = jnp.full((1, bb), save_at[-1] - save_at[0], dtype)
+    dt_floor_v = jnp.full(
+        (1, bb), float(jnp.finfo(dtype).tiny) ** (1.0 / (nu + 1.5)), dtype
+    )
+    tiny_v = jnp.full((1, bb), float(jnp.finfo(dtype).tiny) ** 0.5, dtype)
+
+    interp_v = jax.vmap(lambda s, t: _interpolate_at(strat, s, t), in_axes=(0, None))
+
+    def per_checkpoint(state, t_next):
+        t_next_v = jnp.full((1, bb), t_next, dtype)
+
+        def cond(s):
+            return jnp.any(s[0] < t_next)
+
+        def body(s):
+            return step_call(s, t_next_v, atol, rtol, dt_max_v, dt_floor_v, tiny_v)
+
+        state = jax.lax.while_loop(cond, body, state)
+        gen = _state_to_generic(state, ssm, needs_rev)
+        (rv_e, cond_e), gen2 = interp_v(gen, t_next)
+        state2 = _generic_to_state(gen2, needs_rev, dtype)
+        return state2, (rv_e, cond_e, gen2.num_steps)
+
+    with jax.default_matmul_precision("float32"):
+        final, (rvs, conds, nsteps) = jax.lax.scan(
+            per_checkpoint, state0, save_at[1:]
+        )
+
+    # stacked over T-1 with leading checkpoint axis; add t0 entry, batch-major
+    def bt(x):  # (T-1, B, ...) -> (B, T-1, ...)
+        return jnp.swapaxes(x, 0, 1)
+
+    u_filt = ssm.qoi(rvs.mean)  # (T-1, B, d)
+    u_filt = jnp.concatenate([ssm.qoi(rv0.mean)[:, None, :], bt(u_filt)], axis=1)
+    nsteps = jnp.concatenate(
+        [jnp.zeros((bb, 1), jnp.int32), bt(nsteps)], axis=1
+    )
+
+    if needs_rev:
+        # smoothed means via the backward pass, batched over lanes
+        def smooth_one(rv0_one, rvs_one, conds_one):
+            from .ssm.base import MarkovSeq
+
+            init_stack = jax.tree.map(
+                lambda f, r: jnp.concatenate([f[None], r]), rv0_one, rvs_one
+            )
+            conds_full = jax.tree.map(
+                lambda i, c: jnp.concatenate([i[None], c]), ident, conds_one
+            )
+            post = MarkovSeq(init_stack, conds_full, ssm=ssm)
+            seq = stats.markov_select_terminal(post)
+            margs = stats.markov_marginals(seq)
+            mean = jnp.concatenate([margs.mean, init_stack.mean[None, -1]])
+            return jax.vmap(ssm.qoi)(mean)
+
+        rvs_b = jax.tree.map(bt, rvs)
+        conds_b = jax.tree.map(bt, conds)
+        u_smooth = jax.vmap(smooth_one)(rv0, rvs_b, conds_b)
+    else:
+        u_smooth = u_filt
+
+    return u_smooth[:b], u_filt[:b], nsteps[:b]

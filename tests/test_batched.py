@@ -1,0 +1,55 @@
+"""Fused batched solver: equivalence against the generic vmapped path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from odecheckpts_tpu import batched, parallel, problems
+
+
+def _inputs(batch=8, dtype=jnp.float64):
+    vf, (u0,), tspan, params = problems.rigid_body()
+    u0 = u0.astype(dtype)
+    save_at = jnp.linspace(*tspan, num=5, dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    u0s = u0[None] * (1.0 + 0.05 * jax.random.normal(key, (batch, 3), dtype))
+    tols = jnp.tile(jnp.asarray([1e-4, 1e-6], dtype), batch // 2)
+    return vf, params, save_at, u0s, tols
+
+
+@pytest.mark.parametrize("strategy", ["fixedpoint", "filter"])
+def test_xla_engine_matches_generic_vmapped_solver(strategy):
+    vf, params, save_at, u0s, tols = _inputs()
+    u_s, u_f, nsteps = jax.jit(
+        lambda: batched.solve_save_at_batched(
+            vf, u0s, params, save_at=save_at, dt0=0.1, tols=tols,
+            strategy=strategy, engine="xla",
+        )
+    )()
+    assert np.all(np.isfinite(np.asarray(u_s)))
+
+    solve_generic = parallel.build_batched_solve(
+        "ts0-4", vf, u0s[0], save_at, dt0=0.1
+    )
+    u_ref, steps_ref = solve_generic((u0s,), params, tols)
+    if strategy == "fixedpoint":
+        np.testing.assert_allclose(
+            np.asarray(u_s), np.asarray(u_ref), rtol=1e-7, atol=1e-10
+        )
+    np.testing.assert_allclose(
+        np.asarray(nsteps[:, -1]), np.asarray(steps_ref), rtol=0.05
+    )
+
+
+def test_pallas_interpret_matches_xla_engine():
+    vf, params, save_at, u0s, tols = _inputs(dtype=jnp.float32)
+    kw = dict(save_at=save_at, dt0=0.1, tols=tols)
+    u_x, _, n_x = batched.solve_save_at_batched(
+        vf, u0s, params, engine="xla", **kw
+    )
+    u_p, _, n_p = batched.solve_save_at_batched(
+        vf, u0s, params, engine="pallas", interpret=True, **kw
+    )
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), rtol=2e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_x))
