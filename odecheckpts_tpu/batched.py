@@ -72,8 +72,9 @@ def _qr_r_ll(x, m, n):
         block = x[j:, j:, :]
         coeff = jnp.sum(v[:, None, :] * block, axis=0)
         block = block - inv[:, None, :] * v[:, None, :] * coeff[None, :, :]
-        bottom = jnp.concatenate([x[j:, :j, :], block], axis=1)
-        x = jnp.concatenate([x[:j, :, :], bottom], axis=0)
+        # avoid zero-size slices at j=0 (Mosaic requires positive vector dims)
+        bottom = block if j == 0 else jnp.concatenate([x[j:, :j, :], block], axis=1)
+        x = bottom if j == 0 else jnp.concatenate([x[:j, :, :], bottom], axis=0)
     return x[:k, :, :]
 
 

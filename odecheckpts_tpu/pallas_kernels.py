@@ -47,8 +47,9 @@ def _qr_r_kernel(x_ref, out_ref, *, m, n):
         block = x[j:, j:, :]  # (m-j, n-j, LANES)
         coeff = jnp.sum(v[:, None, :] * block, axis=0)  # (n-j, LANES)
         block = block - inv[:, None, :] * v[:, None, :] * coeff[None, :, :]
-        bottom = jnp.concatenate([x[j:, :j, :], block], axis=1)
-        x = jnp.concatenate([x[:j, :, :], bottom], axis=0)
+        # avoid zero-size slices at j=0 (Mosaic requires positive vector dims)
+        bottom = block if j == 0 else jnp.concatenate([x[j:, :j, :], block], axis=1)
+        x = bottom if j == 0 else jnp.concatenate([x[:j, :, :], bottom], axis=0)
     r = x[:k, :, :]
     # sign-normalize the diagonal (uniqueness across backends)
     d = jnp.stack([r[i, i, :] for i in range(k)], axis=0)  # (k, LANES)
