@@ -6,6 +6,10 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # unpickling jnp arrays needs a backend
+
 import matplotlib
 
 matplotlib.use("Agg")

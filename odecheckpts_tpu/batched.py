@@ -104,8 +104,16 @@ def _const_matmul(a_rows, x):
 
 
 def _matmul_ll(a, b, n):
-    """(n, n, B) @ (n, k, B) batched over lanes."""
-    return jnp.einsum("ijB,jkB->ikB", a, b)
+    """(n, n, B) @ (n, k, B) batched over lanes.
+
+    Unrolled broadcast-sum instead of einsum: Mosaic's tpu.matmul requires
+    batch dims at position 0, while our batch lives in the lanes; for n <= 9
+    the n^3 fused multiply-adds are trivial VPU work.
+    """
+    out = a[:, 0, None, :] * b[None, 0, :, :]
+    for j in range(1, n):
+        out = out + a[:, j, None, :] * b[None, j, :, :]
+    return out
 
 
 def make_step_ll(vf_batched, *, nu, d, atol_factor_unused=None, strategy="fixedpoint",
