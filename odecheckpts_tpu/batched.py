@@ -56,25 +56,40 @@ def _constants(nu):
     )
 
 
+
+def _mid(x, j, axis=1):
+    """x[..., j, ...] on a middle axis via slice+squeeze (Mosaic cannot lower
+    the >2D gathers that jnp's mixed int indexing produces)."""
+    sl = jax.lax.slice_in_dim(x, j, j + 1, axis=axis)
+    return jnp.squeeze(sl, axis=axis)
+
 def _qr_r_ll(x, m, n):
-    """Upper-triangular R of a (m, n, B) stack; lanes-last Householder."""
+    """Upper-triangular R of a (m, n, B) stack; lanes-last Householder.
+
+    Full-matrix masked reflections: no offset sublane slices (Mosaic requires
+    zero-offset layouts for float ADD reductions) and no concatenations.  The
+    reflector v is the j-th column masked to rows >= j; applying it to ALL
+    columns is a no-op on already-eliminated columns (their rows >= j are
+    zero), so the update is exact.
+    """
     eps = jnp.finfo(x.dtype).tiny
     k = min(m, n)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     for j in range(min(n, m - 1)):
-        col = x[j:, j, :]
-        norm = jnp.sqrt(jnp.sum(col * col, axis=0, keepdims=True) + eps)
-        sign = jnp.where(col[:1, :] >= 0, 1.0, -1.0).astype(x.dtype)
+        col = _mid(x, j)  # (m, B), zero-offset
+        below = (rows >= j).astype(x.dtype)
+        colm = col * below
+        norm = jnp.sqrt(jnp.sum(colm * colm, axis=0, keepdims=True) + eps)
+        head = jax.lax.slice_in_dim(col, j, j + 1, axis=0)  # (1, B)
+        sign = jnp.where(head >= 0, 1.0, -1.0).astype(x.dtype)
         alpha = -sign * norm
-        v = jnp.concatenate([col[:1, :] - alpha, col[1:, :]], axis=0)
+        is_j = (rows == j).astype(x.dtype)
+        v = colm - is_j * alpha
         vnorm2 = jnp.sum(v * v, axis=0, keepdims=True)
         safe = vnorm2 > eps
         inv = jnp.where(safe, 2.0 / jnp.where(safe, vnorm2, 1.0), 0.0)
-        block = x[j:, j:, :]
-        coeff = jnp.sum(v[:, None, :] * block, axis=0)
-        block = block - inv[:, None, :] * v[:, None, :] * coeff[None, :, :]
-        # avoid zero-size slices at j=0 (Mosaic requires positive vector dims)
-        bottom = block if j == 0 else jnp.concatenate([x[j:, :j, :], block], axis=1)
-        x = bottom if j == 0 else jnp.concatenate([x[:j, :, :], bottom], axis=0)
+        coeff = jnp.sum(v[:, None, :] * x, axis=0)  # (n, B)
+        x = x - inv[:, None, :] * v[:, None, :] * coeff[None, :, :]
     return x[:k, :, :]
 
 
@@ -83,9 +98,10 @@ def _tri_solve_upper_ll(r, b, n):
     rows = [None] * n
     for i in reversed(range(n)):
         acc = b[i]
+        r_i = r[i]
         for j in range(i + 1, n):
-            acc = acc - r[i, j, :][None, :] * rows[j]
-        rows[i] = acc / r[i, i, :][None, :]
+            acc = acc - r_i[j][None, :] * rows[j]
+        rows[i] = acc / r_i[i][None, :]
     return jnp.stack(rows, axis=0)
 
 
@@ -110,9 +126,9 @@ def _matmul_ll(a, b, n):
     batch dims at position 0, while our batch lives in the lanes; for n <= 9
     the n^3 fused multiply-adds are trivial VPU work.
     """
-    out = a[:, 0, None, :] * b[None, 0, :, :]
+    out = a[:, 0:1, :] * b[0:1, :, :]
     for j in range(1, n):
-        out = out + a[:, j, None, :] * b[None, j, :, :]
+        out = out + a[:, j : j + 1, :] * b[j : j + 1, :, :]
     return out
 
 
@@ -403,7 +419,7 @@ def solve_save_at_batched(
     atol_factor=1e-3,
     engine="pallas",
     interpret=False,
-    taylor_fn=None,
+    vf_vectorized=True,
 ):
     """Batched fixed-memory adaptive solve, fused step kernel.
 
@@ -440,10 +456,20 @@ def solve_save_at_batched(
     def vf_p(u, *, t):
         return vf(u, t=t, p=params)
 
-    vf_batched = jax.vmap(lambda u, t: vf_p(u, t=t[0]), in_axes=(-1, -1), out_axes=-1)
+    if vf_vectorized:
+        # Most vector fields (elementwise ops / row indexing / stack) apply
+        # unchanged to (d, B) lanes-last arrays -- preferred inside the
+        # Pallas kernel (vmap introduces gathers Mosaic cannot lower).
+        def vfb(u_dB, t_1B):
+            return vf_p(u_dB, t=t_1B[0])
 
-    def vfb(u_dB, t_1B):
-        return vf_batched(u_dB, jnp.broadcast_to(t_1B, (1, u_dB.shape[-1])))
+    else:
+        vf_vmapped = jax.vmap(
+            lambda u, t: vf_p(u, t=t), in_axes=(-1, -1), out_axes=-1
+        )
+
+        def vfb(u_dB, t_1B):
+            return vf_vmapped(u_dB, jnp.broadcast_to(t_1B[0], (u_dB.shape[-1],)))
 
     # Taylor init per lane (vmapped; one-time cost)
     def init_one(u0):

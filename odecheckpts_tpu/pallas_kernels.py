@@ -28,31 +28,34 @@ LANES = 128
 def _qr_r_kernel(x_ref, out_ref, *, m, n):
     """In-kernel unrolled Householder on a (m, n, LANES) tile.
 
-    No scatter/gather: row updates are expressed via concatenation of static
-    slices (as in linalg._qr_r_householder), which Mosaic lowers to cheap
-    sublane shuffles.
+    Full-matrix masked reflections (see batched._qr_r_ll for the Mosaic
+    layout rationale): reflectors are zero-masked full columns, applied to
+    every column; already-eliminated columns are untouched by construction.
     """
     x = x_ref[...]  # (m, n, LANES)
     eps = jnp.finfo(x.dtype).tiny
     k = min(m, n)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     for j in range(min(n, m - 1)):
-        col = x[j:, j, :]  # (m-j, LANES)
-        norm = jnp.sqrt(jnp.sum(col * col, axis=0, keepdims=True) + eps)
-        sign = jnp.where(col[:1, :] >= 0, 1.0, -1.0).astype(x.dtype)
-        alpha = -sign * norm  # (1, LANES)
-        v = jnp.concatenate([col[:1, :] - alpha, col[1:, :]], axis=0)
+        col = jnp.squeeze(jax.lax.slice_in_dim(x, j, j + 1, axis=1), 1)
+        below = (rows >= j).astype(x.dtype)
+        colm = col * below
+        norm = jnp.sqrt(jnp.sum(colm * colm, axis=0, keepdims=True) + eps)
+        head = jax.lax.slice_in_dim(col, j, j + 1, axis=0)
+        sign = jnp.where(head >= 0, 1.0, -1.0).astype(x.dtype)
+        alpha = -sign * norm
+        is_j = (rows == j).astype(x.dtype)
+        v = colm - is_j * alpha
         vnorm2 = jnp.sum(v * v, axis=0, keepdims=True)
         safe = vnorm2 > eps
         inv = jnp.where(safe, 2.0 / jnp.where(safe, vnorm2, 1.0), 0.0)
-        block = x[j:, j:, :]  # (m-j, n-j, LANES)
-        coeff = jnp.sum(v[:, None, :] * block, axis=0)  # (n-j, LANES)
-        block = block - inv[:, None, :] * v[:, None, :] * coeff[None, :, :]
-        # avoid zero-size slices at j=0 (Mosaic requires positive vector dims)
-        bottom = block if j == 0 else jnp.concatenate([x[j:, :j, :], block], axis=1)
-        x = bottom if j == 0 else jnp.concatenate([x[:j, :, :], bottom], axis=0)
+        coeff = jnp.sum(v[:, None, :] * x, axis=0)  # (n, LANES)
+        x = x - inv[:, None, :] * v[:, None, :] * coeff[None, :, :]
     r = x[:k, :, :]
     # sign-normalize the diagonal (uniqueness across backends)
-    d = jnp.stack([r[i, i, :] for i in range(k)], axis=0)  # (k, LANES)
+    d = jnp.concatenate(
+        [jax.lax.slice_in_dim(r[i], i, i + 1, axis=0) for i in range(k)], axis=0
+    )  # (k, LANES)
     d = jnp.where(d >= 0, 1.0, -1.0).astype(x.dtype)
     out_ref[...] = r * d[:, None, :]
 
