@@ -170,18 +170,25 @@ def make_step_ll(vf_batched, *, nu, d, atol_factor_unused=None, strategy="fixedp
         m_pred = p_arr[:, None, :] * m_bar_pred
 
         # -- linearize (TS0, o=1)
-        u_pred = m_pred[0]  # (d, B)
+        u_pred = _mid(m_pred, 0, axis=0)  # (d, B)
         fx = vf_batched(u_pred, t_new)
-        z = m_pred[1] - fx  # (d, B)
+        z = _mid(m_pred, 1, axis=0) - fx  # (d, B)
 
-        # -- local scale + error (solution units)
+        # -- local scale + error (solution units); reductions over the tiny
+        # d axis are unrolled row-adds (Mosaic: no float reductions over
+        # offset sublane layouts)
+        def _row(x2, i):
+            return jax.lax.slice_in_dim(x2, i, i + 1, axis=0)
+
         s_unit = p[1] * lq_norms[1]  # (1, B)
-        sigma = jnp.sqrt(jnp.sum(z * z, axis=0, keepdims=True)) / (s_unit * sqrt_d)
+        zz = _row(z, 0) ** 2
+        tol_acc = 1.0 / (atol + rtol * jnp.abs(_row(u_pred, 0))) ** 2
+        for i in range(1, d):
+            zz = zz + _row(z, i) ** 2
+            tol_acc = tol_acc + 1.0 / (atol + rtol * jnp.abs(_row(u_pred, i))) ** 2
+        sigma = jnp.sqrt(zz) / (s_unit * sqrt_d)
         err_u = sigma * (p[0] * lq_norms[0])  # (1, B)
-        # errn = rms_d(err_u / (atol + rtol |u|)); err_u is constant across d
-        errn = err_u * jnp.sqrt(
-            jnp.mean(1.0 / (atol + rtol * jnp.abs(u_pred)) ** 2, axis=0, keepdims=True)
-        )
+        errn = err_u * jnp.sqrt(tol_acc / (1.0 * d))
 
         if calibration == "dynamic":
             new_scale = jnp.maximum(sigma, tiny_scale)
@@ -224,12 +231,14 @@ def make_step_ll(vf_batched, *, nu, d, atol_factor_unused=None, strategy="fixedp
             gain = bwd_m_step = bwd_L_step = None
 
         # -- TS0 correction (rank-1 Potter update on derivative 1)
-        l_obs = l_pred[1, :, :]  # (n, B)
-        s2 = jnp.sum(l_obs * l_obs, axis=0, keepdims=True)
-        crosscov = jnp.sum(l_pred * l_obs[None, :, :], axis=1)  # (n, B)
-        g_corr = crosscov / s2
-        mean_cor = m_pred - g_corr[:, None, :] * z[None, :, :]
-        chol_cor = l_pred - g_corr[:, None, :] * l_obs[None, :, :]
+        l_obs = _mid(l_pred, 1, axis=0)  # (n, B)
+        s2 = _row(l_obs, 0) ** 2
+        for i in range(1, n):
+            s2 = s2 + _row(l_obs, i) ** 2
+        crosscov = _matmul_ll(l_pred, l_obs[:, None, :], n)  # (n, 1, B)
+        g_corr = crosscov / s2[None, :, :]
+        mean_cor = m_pred - g_corr * z[None, :, :]
+        chol_cor = l_pred - g_corr * l_obs[None, :, :]
 
         # -- fixedpoint accumulation
         if needs_rev:

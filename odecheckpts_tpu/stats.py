@@ -44,16 +44,38 @@ def markov_select_terminal(posterior: MarkovSeq) -> MarkovSeq:
 
 
 @_full_precision
-def markov_marginals(seq: MarkovSeq, *, reverse: bool = True) -> Normal:
+def markov_marginals(seq: MarkovSeq, *, reverse: bool = True, parallel: bool = False) -> Normal:
     """Marginals of all non-terminal states by backward marginalization.
 
     Returns a stacked Normal in forward-time order over checkpoints
     0..N-2 (the terminal state is ``seq.init``); the reference concatenates
     the two itself (/root/reference/src/odecheckpts/ivpsolvers.py:81-86).
+
+    ``parallel=True`` runs the backward pass as a ``lax.associative_scan``
+    over conditional composition -- O(log N) depth instead of O(N), the
+    parallel-in-time smoothing pass of arXiv:2502.11686 (SURVEY.md section 5
+    stretch goal).  Results agree with the sequential scan to square-root
+    arithmetic accuracy.
     """
     if not reverse:
         raise NotImplementedError("forward-time marginals are not defined here")
     ssm = seq.ssm
+
+    if parallel:
+        # cumulative composition C_k = cond_k o cond_{k+1} o ... o cond_{N-1}
+        # (maps x at the terminal point to x at checkpoint k-1); marginalizing
+        # the terminal Gaussian through each cumulative conditional yields
+        # every marginal independently.
+        def combine(acc_later, current):
+            # fn(a, b) = b o a  (inner = composite of later conditionals,
+            # outer = the current, earlier-in-time one); associative since
+            # fn(fn(a,b),c) = c o b o a = fn(a, fn(b,c)).
+            return jax.vmap(ssm.compose)(current, acc_later)
+
+        cumulative = jax.lax.associative_scan(
+            combine, seq.conditional, reverse=True
+        )
+        return jax.vmap(lambda c: ssm.marginalize(seq.init, c))(cumulative)
 
     def body(rv, cond):
         rv_prev = ssm.marginalize(rv, cond)
