@@ -74,18 +74,25 @@ def _qr_r_ll(x, m, n):
     """
     eps = jnp.finfo(x.dtype).tiny
     k = min(m, n)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)  # (m, 1)
+    iota_n3 = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)  # (1, n, 1)
     for j in range(min(n, m - 1)):
-        col = _mid(x, j)  # (m, B), zero-offset
-        below = (rows >= j).astype(x.dtype)
+        # column j extracted via a one-hot contraction over the (full,
+        # zero-offset) array: Mosaic forbids float reductions over operands
+        # whose layout carries a sublane offset, which sliced columns do.
+        colmask = (iota_n3 == j).astype(x.dtype)
+        col = jnp.sum(x * colmask, axis=1)  # (m, B)
+        below = (iota_m >= j).astype(x.dtype)
+        is_j = (iota_m == j).astype(x.dtype)
         colm = col * below
-        norm = jnp.sqrt(jnp.sum(colm * colm, axis=0, keepdims=True) + eps)
-        head = jax.lax.slice_in_dim(col, j, j + 1, axis=0)  # (1, B)
+        norm2 = jnp.sum(colm * colm, axis=0, keepdims=True)
+        norm = jnp.sqrt(norm2 + eps)
+        head = jnp.sum(colm * is_j, axis=0, keepdims=True)  # (1, B)
         sign = jnp.where(head >= 0, 1.0, -1.0).astype(x.dtype)
         alpha = -sign * norm
-        is_j = (rows == j).astype(x.dtype)
         v = colm - is_j * alpha
-        vnorm2 = jnp.sum(v * v, axis=0, keepdims=True)
+        # ||v||^2 = ||colm||^2 + alpha^2 - 2 head alpha  (no extra reduction)
+        vnorm2 = norm2 + alpha * alpha - 2.0 * head * alpha
         safe = vnorm2 > eps
         inv = jnp.where(safe, 2.0 / jnp.where(safe, vnorm2, 1.0), 0.0)
         coeff = jnp.sum(v[:, None, :] * x, axis=0)  # (n, B)

@@ -37,38 +37,39 @@ def _sign_safe(x):
 
 
 def _qr_r_householder(x):
-    """R factor of QR via unrolled Householder reflections.
+    """R factor of QR via unrolled masked Householder reflections.
 
-    ``x``: (..., m, n) with m >= n, n static and small.  Returns (..., n, n)
-    upper-triangular with ``R^T R = x^T x``.  Unrolled over the (static) n
-    columns; every op is batched elementwise/matvec work, which is the layout
-    TPUs want under vmap.
+    ``x``: (..., m, n), m/n static and small.  Returns (..., min(m, n), n)
+    upper-triangular with ``R^T R = x^T x``.  Unrolled over the (static)
+    columns; the reflector is the j-th column masked to rows >= j and is
+    applied to the FULL matrix (already-eliminated columns are untouched
+    since their rows >= j are zero) -- concat-free, so the whole elimination
+    is fusable batched elementwise/matvec work under vmap.
     """
     m, n = x.shape[-2], x.shape[-1]
     k = min(m, n)
-    r = x
     eps = jnp.finfo(x.dtype).tiny
+    rows = jnp.arange(m)
     for j in range(min(n, m - 1)):
-        col = r[..., j:, j]  # (..., m-j)
+        col = x[..., :, j]  # (..., m)
+        below = (rows >= j).astype(x.dtype)
+        is_j = (rows == j).astype(x.dtype)
+        colm = col * below
         # tiny floor keeps sqrt differentiable at exactly-zero columns (rank-
         # deficient factors occur by construction after exact corrections)
-        norm = jnp.sqrt(jnp.sum(col * col, axis=-1, keepdims=True) + eps)
-        alpha = -_sign_safe(col[..., :1]) * norm
-        v = col - jnp.concatenate(
-            [alpha, jnp.zeros_like(col[..., 1:])], axis=-1
-        )  # v = col - alpha*e1
-        vnorm2 = jnp.sum(v * v, axis=-1, keepdims=True)
+        norm2 = jnp.sum(colm * colm, axis=-1, keepdims=True)
+        norm = jnp.sqrt(norm2 + eps)
+        head = jnp.sum(colm * is_j, axis=-1, keepdims=True)
+        alpha = -_sign_safe(head) * norm
+        v = colm - is_j * alpha
+        # ||v||^2 = ||colm||^2 + alpha^2 - 2 head alpha
+        vnorm2 = norm2 + alpha * alpha - 2.0 * head * alpha
         # Degenerate column (already eliminated): skip the reflection.
         safe = vnorm2 > eps
         inv = jnp.where(safe, 2.0 / jnp.where(safe, vnorm2, 1.0), 0.0)
-        block = r[..., j:, j:]  # (..., m-j, n-j)
-        coeff = jnp.einsum("...i,...ik->...k", v, block)  # (..., n-j)
-        block = block - inv[..., None] * v[..., :, None] * coeff[..., None, :]
-        r = jnp.concatenate(
-            [r[..., :j, :], jnp.concatenate([r[..., j:, :j], block], axis=-1)],
-            axis=-2,
-        )
-    return r[..., :k, :]
+        coeff = jnp.einsum("...i,...ik->...k", v, x)  # (..., n)
+        x = x - inv[..., None] * v[..., :, None] * coeff[..., None, :]
+    return x[..., :k, :]
 
 
 def qr_r(x):
