@@ -51,6 +51,9 @@ def main():
                 atol=1e-3 * tol10,
                 rtol=tol10,
                 ode_order=2,
+                # residual-unit error control reproduces the reference's
+                # step-density (and its high-accuracy regime) on Pleiades
+                error_unit=args.error_unit,
             )
             return fun(u0_2nd, ())
 
@@ -101,6 +104,7 @@ def parse_arguments() -> argparse.Namespace:
     parser.add_argument("--stop", type=int, default=10)
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--nosave", action=argparse.BooleanOptionalAction)
+    parser.add_argument("--error-unit", choices=["qoi", "residual"], default="residual")
     return parser.parse_args()
 
 

@@ -48,8 +48,15 @@ def solve(
     ode_order: int = 1,
     calibrate: str = "dynamic",
     implementation: str = "isotropic",
+    error_unit: str = "qoi",
 ):
-    """Checkpointed adaptive solve: O(#save_at) memory ("jit loop" solver)."""
+    """Checkpointed adaptive solve: O(#save_at) memory ("jit loop" solver).
+
+    ``error_unit``: "qoi" equidistributes solution-component error (fewest
+    steps at a given accuracy on smooth/stiff problems); "residual"
+    concentrates steps at stiff transients (reference-stack behavior; wins at
+    very high accuracy on quasi-singular problems like Pleiades).
+    """
     family, num_derivatives = _parse_method(method)
     prior = ivpsolvers.prior_ibm(
         num_derivatives=num_derivatives,
@@ -57,9 +64,9 @@ def solve(
         implementation=implementation,
     )
     if family == "ts0":
-        correction = ivpsolvers.correction_ts0(ode_order=ode_order)
+        correction = ivpsolvers.correction_ts0(ode_order=ode_order, error_unit=error_unit)
     else:
-        correction = ivpsolvers.correction_ts1(ode_order=ode_order)
+        correction = ivpsolvers.correction_ts1(ode_order=ode_order, error_unit=error_unit)
     strategy = ivpsolvers.strategy_fixedpoint(prior, correction)
 
     if calibrate == "dynamic":

@@ -44,20 +44,32 @@ def prior_ibm(*, num_derivatives: int, ode_shape: tuple, implementation: str = "
 class Correction:
     method: str  # "ts0" | "ts1"
     ode_order: int
+    error_unit: str = "qoi"  # "qoi" | "residual"
 
 
-def correction_ts0(*, ode_order: int = 1) -> Correction:
-    """Zeroth-order Taylor linearization (EK0): no vector-field Jacobian."""
-    return Correction("ts0", ode_order)
+def correction_ts0(*, ode_order: int = 1, error_unit: str = "qoi") -> Correction:
+    """Zeroth-order Taylor linearization (EK0): no vector-field Jacobian.
+
+    ``error_unit`` selects the step-control error estimate:
+    * "qoi" (default): calibrated process-noise std of the solution component
+      (order dt^(nu+1); equidistributes u-error against atol+rtol|u| --
+      fewest steps at a given accuracy on smooth problems);
+    * "residual": calibrated residual std in u^(o) units (order
+      dt^(nu+1-o); strongly concentrates steps at stiff transients /
+      near-singular encounters, like the reference stack's behavior on
+      Pleiades-type problems).
+    """
+    return Correction("ts0", ode_order, error_unit)
 
 
-def correction_ts1(*, ode_order: int = 1) -> Correction:
+def correction_ts1(*, ode_order: int = 1, error_unit: str = "qoi") -> Correction:
     """First-order Taylor linearization (EK1): Jacobian via forward-mode AD.
 
     Requires the dense backend (cross-derivative covariance), like the
     reference's stiff Van der Pol setup (experiments/1_van_der_pol/vdp.py:61-64).
+    See :func:`correction_ts0` for ``error_unit``.
     """
-    return Correction("ts1", ode_order)
+    return Correction("ts1", ode_order, error_unit)
 
 
 FILTER, SMOOTHER, FIXEDPOINT = "filter", "smoother", "fixedpoint"
@@ -164,10 +176,11 @@ def error_and_scale(strategy: Strategy, z, jacobians, cache):
     """
     ssm = strategy.ssm
     o = strategy.correction.ode_order
+    unit = strategy.correction.error_unit
     if ssm.name in ("isotropic", "blockdiag"):
-        return ssm.error_and_scale_deriv(z, cache, o)
+        return ssm.error_and_scale_deriv(z, cache, o, unit=unit)
     h_q = ssm.h_q_unit(cache, o, jacobians)
-    return ssm.error_and_scale(z, h_q, cache)
+    return ssm.error_and_scale(z, h_q, cache, unit=unit)
 
 
 def correct(strategy: Strategy, rv_pred, z, jacobians):

@@ -116,13 +116,15 @@ class BlockDiagSSM:
 
     # -- TS0 correction --------------------------------------------------------
 
-    def error_and_scale_deriv(self, z, cache, o):
+    def error_and_scale_deriv(self, z, cache, o, unit="qoi"):
         """Per-dimension MLE scales sigma_i = |z_i| / s_unit and per-dimension
         error estimates in solution units (see isotropic backend docstring)."""
         _, l_q = self._system(z.dtype)
         p, _ = cache
         s_unit = p[o] * jnp.sqrt(jnp.sum(l_q[o, :] ** 2))
         sigma = jnp.abs(z) / s_unit  # (d,)
+        if unit == "residual":
+            return sigma, sigma * s_unit
         err_u = sigma * p[0] * jnp.sqrt(jnp.sum(l_q[0, :] ** 2))
         return sigma, err_u
 

@@ -162,7 +162,7 @@ class DenseSSM:
         # blocks: (n, d, d) with blocks[j] = column-block j -> (d, nd)
         return jnp.swapaxes(blocks, 0, 1).reshape(self.d, self.ndim)
 
-    def error_and_scale(self, z, h_q, cache):
+    def error_and_scale(self, z, h_q, cache, unit="qoi"):
         """sigma_hat = sqrt(z^T S^{-1} z / d) with S = (H Q^{1/2})(H Q^{1/2})^T.
 
         As in the isotropic backend, the step-control error estimate is the
@@ -175,6 +175,9 @@ class DenseSSM:
         r_s = linalg.qr_r(jnp.swapaxes(h_q, -1, -2))  # (d, d) upper, R^T R = S
         white = linalg.tri_solve_lower(jnp.swapaxes(r_s, -1, -2), z[..., None])
         sigma = jnp.sqrt(jnp.sum(white**2) / self.d)
+        if unit == "residual":
+            err = sigma * jnp.sqrt(jnp.sum(r_s**2, axis=-2))  # sqrt(diag S)
+            return sigma, err
         err_u = sigma * p[0] * jnp.sqrt(jnp.sum(l_q[0, :] ** 2))
         return sigma, jnp.broadcast_to(err_u, (self.d,))
 

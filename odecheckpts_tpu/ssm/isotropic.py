@@ -122,7 +122,7 @@ class IsotropicSSM:
 
     # -- TS0 correction -------------------------------------------------------
 
-    def error_and_scale_deriv(self, z, cache, o):
+    def error_and_scale_deriv(self, z, cache, o, unit="qoi"):
         """Local MLE output scale and error estimate from the TS0 residual.
 
         Residual model: z ~ N(0, sigma^2 * (H Q_unit H^T)) with
@@ -139,8 +139,11 @@ class IsotropicSSM:
         p, _ = cache
         s_unit = p[o] * jnp.sqrt(jnp.sum(l_q[o, :] ** 2))
         sigma = jnp.sqrt(jnp.sum(z**2)) / (s_unit * jnp.sqrt(1.0 * self.d))
-        err_u = sigma * p[0] * jnp.sqrt(jnp.sum(l_q[0, :] ** 2))
-        return sigma, jnp.broadcast_to(err_u, (self.d,))
+        if unit == "residual":
+            err = sigma * s_unit  # = ||z|| / sqrt(d): u^(o)-unit residual
+        else:
+            err = sigma * p[0] * jnp.sqrt(jnp.sum(l_q[0, :] ** 2))
+        return sigma, jnp.broadcast_to(err, (self.d,))
 
     def correct_deriv(self, rv, z, o):
         """Exact constraint update on the o-th derivative (EK0 / TS0).
