@@ -139,7 +139,7 @@ def _matmul_ll(a, b, n):
     return out
 
 
-def make_step_ll(vf_batched, *, nu, d, atol_factor_unused=None, strategy="fixedpoint",
+def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
                  calibration="dynamic", control=None):
     """Lanes-last adaptive attempt; pure jnp (usable inside a Pallas kernel)."""
     from .ivpsolve import Control

@@ -204,7 +204,3 @@ def offgrid_marginals_searchsorted(*, ts, solution, solver):
     marginals = jax.vmap(interp_one)(jnp.asarray(ts, grid.dtype))
     return ssm.qoi(marginals.mean), marginals
 
-
-def calibrate_output_scale_mle(solution):
-    """Convenience: the posterior output scale stored on the solution."""
-    return solution.output_scale
