@@ -63,41 +63,43 @@ def _mid(x, j, axis=1):
     sl = jax.lax.slice_in_dim(x, j, j + 1, axis=axis)
     return jnp.squeeze(sl, axis=axis)
 
-def _qr_r_ll(x, m, n):
-    """Upper-triangular R of a (m, n, B) stack; lanes-last Householder.
+def _qr_r_cols(cols, m, n):
+    """Householder QR on a COLUMN-LIST representation: ``cols`` is a list of
+    n arrays (m, B).  Returns the list transformed in place-style (upper
+    triangular in its first min(m, n) rows).
 
-    Full-matrix masked reflections: no offset sublane slices (Mosaic requires
-    zero-offset layouts for float ADD reductions) and no concatenations.  The
-    reflector v is the j-th column masked to rows >= j; applying it to ALL
-    columns is a no-op on already-eliminated columns (their rows >= j are
-    zero), so the update is exact.
+    The column list is the Mosaic-native representation: every reduction runs
+    over a full standalone (m, B) array (zero-offset layouts), no column
+    extraction passes, and reflections touch only the not-yet-eliminated
+    columns -- ~3x fewer element-touches than the masked full-matrix form.
     """
-    eps = jnp.finfo(x.dtype).tiny
-    k = min(m, n)
-    iota_m = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)  # (m, 1)
-    iota_n3 = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)  # (1, n, 1)
+    eps = jnp.finfo(cols[0].dtype).tiny
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     for j in range(min(n, m - 1)):
-        # column j extracted via a one-hot contraction over the (full,
-        # zero-offset) array: Mosaic forbids float reductions over operands
-        # whose layout carries a sublane offset, which sliced columns do.
-        colmask = (iota_n3 == j).astype(x.dtype)
-        col = jnp.sum(x * colmask, axis=1)  # (m, B)
-        below = (iota_m >= j).astype(x.dtype)
-        is_j = (iota_m == j).astype(x.dtype)
+        col = cols[j]
+        below = (rows >= j).astype(col.dtype)
+        is_j = (rows == j).astype(col.dtype)
         colm = col * below
         norm2 = jnp.sum(colm * colm, axis=0, keepdims=True)
         norm = jnp.sqrt(norm2 + eps)
-        head = jnp.sum(colm * is_j, axis=0, keepdims=True)  # (1, B)
-        sign = jnp.where(head >= 0, 1.0, -1.0).astype(x.dtype)
+        head = jnp.sum(colm * is_j, axis=0, keepdims=True)
+        sign = jnp.where(head >= 0, 1.0, -1.0).astype(col.dtype)
         alpha = -sign * norm
         v = colm - is_j * alpha
-        # ||v||^2 = ||colm||^2 + alpha^2 - 2 head alpha  (no extra reduction)
         vnorm2 = norm2 + alpha * alpha - 2.0 * head * alpha
         safe = vnorm2 > eps
         inv = jnp.where(safe, 2.0 / jnp.where(safe, vnorm2, 1.0), 0.0)
-        coeff = jnp.sum(v[:, None, :] * x, axis=0)  # (n, B)
-        x = x - inv[:, None, :] * v[:, None, :] * coeff[None, :, :]
-    return x[:k, :, :]
+        for c in range(j, n):
+            coeff = jnp.sum(v * cols[c], axis=0, keepdims=True)
+            cols[c] = cols[c] - inv * v * coeff
+    return cols
+
+
+def _qr_r_ll(x, m, n):
+    """Upper-triangular R of a (m, n, B) stack via the column-list QR."""
+    cols = _qr_r_cols([_mid(x, c) for c in range(n)], m, n)
+    k = min(m, n)
+    return jnp.stack(cols, axis=1)[:k, :, :]
 
 
 def _tri_solve_upper_ll(r, b, n):
@@ -212,13 +214,17 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
         lq_scaled = new_scale[None, :, :] * lq
 
         if needs_rev:
-            top = jnp.concatenate(
-                [jnp.swapaxes(a_l, 0, 1), jnp.swapaxes(l_bar, 0, 1)], axis=1
-            )  # (n, 2n, B)
-            bot = jnp.concatenate(
-                [jnp.swapaxes(lq_scaled, 0, 1), jnp.zeros_like(lq)], axis=1
-            )
-            r = _qr_r_ll(jnp.concatenate([top, bot], axis=0), 2 * n, 2 * n)
+            # revert-QR input columns assembled from ROWS of the blocks:
+            # X = [[ (A Lbar)^T, Lbar^T ], [ Lq^T, 0 ]] -> col c (c < n) is
+            # [a_l[c]; lq_scaled[c]], col n+c is [l_bar[c]; 0].
+            zero_col = jnp.zeros_like(a_l[0])
+            cols = [
+                jnp.concatenate([a_l[c], lq_scaled[c]], axis=0) for c in range(n)
+            ] + [
+                jnp.concatenate([l_bar[c], zero_col], axis=0) for c in range(n)
+            ]
+            cols = _qr_r_cols(cols, 2 * n, 2 * n)
+            r = jnp.stack(cols, axis=1)  # (2n, 2n, B), upper-tri in top rows
             r_yy = r[:n, :n, :]
             r_yx = r[:n, n:, :]
             r_xx = r[n:, n:, :]
@@ -230,10 +236,11 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
             bwd_L_step = p_arr[:, None, :] * l_bwd_bar
             bwd_m_step = mean - _matmul_ll(gain, m_pred, n)
         else:
-            stack = jnp.concatenate(
-                [jnp.swapaxes(a_l, 0, 1), jnp.swapaxes(lq_scaled, 0, 1)], axis=0
-            )  # (2n, n, B)
-            r = _qr_r_ll(stack, 2 * n, n)
+            cols = [
+                jnp.concatenate([a_l[c], lq_scaled[c]], axis=0) for c in range(n)
+            ]
+            cols = _qr_r_cols(cols, 2 * n, n)
+            r = jnp.stack(cols, axis=1)[:n]
             l_pred = p_arr[:, None, :] * jnp.swapaxes(r, 0, 1)
             gain = bwd_m_step = bwd_L_step = None
 
@@ -252,14 +259,12 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
             if fixedpoint:
                 bwdG_new = _matmul_ll(bwdG, gain, n)
                 bwd_m_new = _matmul_ll(bwdG, bwd_m_step, n) + bwd_m
-                stack = jnp.concatenate(
-                    [
-                        jnp.swapaxes(_matmul_ll(bwdG, bwd_L_step, n), 0, 1),
-                        jnp.swapaxes(bwd_L, 0, 1),
-                    ],
-                    axis=0,
-                )
-                bwd_L_new = jnp.swapaxes(_qr_r_ll(stack, 2 * n, n), 0, 1)
+                m1 = _matmul_ll(bwdG, bwd_L_step, n)
+                cols2 = [
+                    jnp.concatenate([m1[c], bwd_L[c]], axis=0) for c in range(n)
+                ]
+                cols2 = _qr_r_cols(cols2, 2 * n, n)
+                bwd_L_new = jnp.swapaxes(jnp.stack(cols2, axis=1)[:n], 0, 1)
             else:
                 bwdG_new, bwd_m_new, bwd_L_new = gain, bwd_m_step, bwd_L_step
         else:
@@ -311,8 +316,13 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
     return step
 
 
-def _pallas_step(step_fn, interpret=False):
-    """Wrap a lanes-last step as ONE Pallas kernel over 128-lane tiles."""
+def _pallas_step(step_fn, interpret=False, lanes=LANES):
+    """Wrap a lanes-last step as ONE Pallas kernel over ``lanes``-wide tiles.
+
+    Wider tiles amortize Mosaic's per-instruction overhead across more lanes
+    (the step is hundreds of tiny vector ops; at 128 lanes each op touches
+    only 1-2 vregs).
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -327,11 +337,11 @@ def _pallas_step(step_fn, interpret=False):
 
     def call(state, t_next, atol, rtol, dt_max, dt_floor, tiny_scale):
         b = state[0].shape[-1]
-        grid = (b // LANES,)
+        grid = (b // lanes,)
 
         def spec(arr):
             nd = arr.ndim
-            block = arr.shape[:-1] + (LANES,)
+            block = arr.shape[:-1] + (lanes,)
             idx = {
                 2: lambda i: (0, i),
                 3: lambda i: (0, 0, i),
@@ -436,6 +446,7 @@ def solve_save_at_batched(
     engine="pallas",
     interpret=False,
     vf_vectorized=True,
+    lanes=None,
 ):
     """Batched fixed-memory adaptive solve, fused step kernel.
 
@@ -447,7 +458,8 @@ def solve_save_at_batched(
     from . import ivpsolvers, stats, taylor
 
     b, d = u0s.shape
-    pad = (-b) % LANES
+    lane_width = lanes or min(LANES * 8, max(LANES, b))
+    pad = (-b) % lane_width
     if pad:
         u0s = jnp.concatenate([u0s, jnp.tile(u0s[:1], (pad, 1))])
         tols = jnp.concatenate([tols, jnp.full((pad,), tols[0], tols.dtype)])
@@ -515,7 +527,7 @@ def solve_save_at_batched(
         vfb, nu=nu, d=d, strategy=strategy, calibration=calibration
     )
     if engine == "pallas":
-        step_call = _pallas_step(step_ll, interpret=interpret)
+        step_call = _pallas_step(step_ll, interpret=interpret, lanes=lane_width)
     else:
         step_call = step_ll
 
