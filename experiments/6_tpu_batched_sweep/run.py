@@ -30,11 +30,22 @@ from odecheckpts_tpu import parallel, problems  # noqa: E402
 REFERENCE = {1e-3: 0.0145, 1e-5: 0.0185}
 
 
-def main(batch=1024, use_mesh=False, dtype=jnp.float32):
+def main(batch=1024, use_mesh=False, dtype=jnp.float32, engine="fused"):
     vf, (u0,), tspan, params = problems.rigid_body()
     u0 = u0.astype(dtype)
     save_at = jnp.linspace(*tspan, num=5, dtype=dtype)
-    solve_batch = parallel.build_batched_solve("ts0-4", vf, u0, save_at, dt0=0.1)
+
+    if engine == "fused":
+        from odecheckpts_tpu import batched as batched_mod
+
+        def solve_batch(u0s_tuple, p, tols):
+            u_s, _u_f, nsteps = batched_mod.solve_save_at_batched(
+                vf, u0s_tuple[0], p, save_at=save_at, dt0=0.1, tols=tols
+            )
+            return u_s, nsteps[:, -1]
+
+    else:
+        solve_batch = parallel.build_batched_solve("ts0-4", vf, u0, save_at, dt0=0.1)
 
     if use_mesh and len(jax.devices()) > 1:
         from jax.sharding import Mesh
@@ -87,7 +98,13 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--mesh", action="store_true")
     p.add_argument("--f64", action="store_true")
+    p.add_argument("--engine", choices=["fused", "generic"], default="fused")
     a = p.parse_args()
     if a.f64:
         jax.config.update("jax_enable_x64", True)
-    main(batch=a.batch, use_mesh=a.mesh, dtype=jnp.float64 if a.f64 else jnp.float32)
+    main(
+        batch=a.batch,
+        use_mesh=a.mesh,
+        dtype=jnp.float64 if a.f64 else jnp.float32,
+        engine=a.engine,
+    )

@@ -121,3 +121,17 @@ def workprec(fun, *, precision_fun: Callable, timeit_fun: Callable) -> Callable:
         }
 
     return parameter_list_to_workprecision
+
+def profiler_trace(log_dir: str):
+    """Context manager: capture a jax.profiler trace around a benchmark region.
+
+    TPU-faithful replacement for the reference's wall-clock-only protocol
+    (SURVEY.md section 5: "add jax.profiler trace option for TPU").  View with
+    TensorBoard or xprof.
+    """
+    return jax.profiler.trace(log_dir)
+
+
+def annotate(name: str):
+    """Named trace span (shows up in the profiler timeline)."""
+    return jax.profiler.TraceAnnotation(name)

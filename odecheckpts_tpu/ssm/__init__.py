@@ -9,6 +9,10 @@ _REGISTRY = {
     "isotropic": IsotropicSSM,
     "dense": DenseSSM,
     "blockdiag": BlockDiagSSM,
+    # probdiffeq's "scalar" factorization is the d=1 special case of the
+    # per-dimension backend (SURVEY.md section 2: shipped but not exercised
+    # by the reference experiments)
+    "scalar": BlockDiagSSM,
 }
 
 

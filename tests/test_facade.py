@@ -81,3 +81,19 @@ def test_asolve_scipy_matches_probabilistic():
     u_prob, _ = solve1(u0, args)
     np.testing.assert_allclose(u_prob[-1], ys[-1], rtol=1e-6)
     del save_at
+
+
+def test_facade_backend_selection():
+    """implementation= routes to isotropic/blockdiag/scalar backends."""
+    vf, u0, time_span, args = problems.logistic()
+    save_at = jnp.linspace(*time_span, num=4)
+    outs = {}
+    for impl in ["isotropic", "blockdiag", "scalar"]:
+        fn = facade.solve(
+            "ts0-3", vf, u0[0], save_at, dt0=0.1, atol=1e-7, rtol=1e-7,
+            implementation=impl,
+        )
+        u, _aux = fn(u0, args)
+        outs[impl] = np.asarray(u)
+    np.testing.assert_allclose(outs["isotropic"], outs["blockdiag"], rtol=1e-5)
+    np.testing.assert_allclose(outs["blockdiag"], outs["scalar"], rtol=1e-12)
