@@ -24,7 +24,6 @@ else.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

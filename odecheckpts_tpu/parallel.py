@@ -20,8 +20,6 @@ elements.  The TPU rebuild promotes parallelism to a first-class subsystem:
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
