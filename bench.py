@@ -35,13 +35,15 @@ def _run(engine: str):
     vf, (u0,), tspan, params = problems.rigid_body()
     u0 = u0.astype(dtype)
     save_at = jnp.linspace(*tspan, num=5, dtype=dtype)
-    batch = 1024
+    # throughput saturates around 32k lanes on one v5e chip (see ROADMAP)
+    batch = 32768
     key = jax.random.PRNGKey(0)
     u0s = u0[None] * (1.0 + 0.05 * jax.random.normal(key, (batch, 3), dtype))
 
     solve = jax.jit(
         lambda u, t: batched.solve_save_at_batched(
-            vf, u, params, save_at=save_at, dt0=0.1, tols=t, engine=engine
+            vf, u, params, save_at=save_at, dt0=0.1, tols=t, engine=engine,
+            lanes=1024 if engine == "pallas" else None,
         )
     )
 
@@ -75,7 +77,7 @@ def main():
                 "metric": "batched_adaptive_solves_per_sec",
                 "value": round(solves_per_s, 2),
                 "unit": (
-                    "solves/s (rigid body TS0(4) fixedpoint save_at, batch 1024, "
+                    "solves/s (rigid body TS0(4) fixedpoint save_at, batch 32768, "
                     f"rtol 1e-1/1e-3, fused {engine} step, one TPU chip)"
                 ),
                 "vs_baseline": round(solves_per_s / ref_rate, 2),
