@@ -20,7 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .ssm.base import MarkovSeq, Normal
+from .ssm.base import Conditional, MarkovSeq, Normal
 
 
 def _full_precision(fn):
@@ -86,7 +86,9 @@ def markov_marginals(seq: MarkovSeq, *, reverse: bool = True, parallel: bool = F
 
 
 @_full_precision
-def markov_sample(key, seq: MarkovSeq, *, shape=(), reverse: bool = True):
+def markov_sample(
+    key, seq: MarkovSeq, *, shape=(), reverse: bool = True, parallel: bool = False
+):
     """Joint posterior samples along the Markov sequence.
 
     Parity (including the return convention the reference destructures,
@@ -94,6 +96,11 @@ def markov_sample(key, seq: MarkovSeq, *, shape=(), reverse: bool = True):
     returns ``(qoi, samples), (qoi_terminal, sample_terminal)`` where ``qoi``
     covers checkpoints 0..N-2 in forward-time order and the terminal pieces
     belong at the end.
+
+    ``parallel=True``: once the per-step noises are drawn, the sampling
+    recursion ``x_{k-1} = G_k x_k + (d_k + L_k xi_k)`` is a composition of
+    plain affine maps -- associative, QR-free -- so it runs as a
+    ``lax.associative_scan`` in O(log N) depth (parallel-in-time sampling).
     """
     if not reverse:
         raise NotImplementedError
@@ -109,16 +116,39 @@ def markov_sample(key, seq: MarkovSeq, *, shape=(), reverse: bool = True):
 
     sample_terminal = ssm.transform_base(seq.init, eps_init)
 
-    def body(x, inputs):
-        cond, eps = inputs
-        x_prev = ssm.conditional_sample(cond, x, eps)
-        return x_prev, x_prev
+    if parallel:
+        # fold each step's sampled noise into the offset: d'_k = d_k + L_k xi_k
+        # (conditional_sample at x = 0), then compose plain affine maps with
+        # zero noise cholesky via ssm.compose -- associative, so a log-depth
+        # associative scan yields every cumulative map terminal -> checkpoint.
+        zeros_state = jnp.zeros_like(seq.init.mean)
+        offsets = jax.vmap(
+            lambda c, e: ssm.conditional_sample(c, zeros_state, e)
+        )(seq.conditional, eps_steps)
+        zero_chol = jnp.zeros_like(seq.conditional.noise.cholesky)
+        conds_sampled = Conditional(
+            seq.conditional.matrix, Normal(offsets, zero_chol)
+        )
+        cumulative = jax.lax.associative_scan(
+            lambda later, cur: jax.vmap(ssm.compose)(cur, later),
+            conds_sampled,
+            reverse=True,
+        )
+        zeros_base = jnp.zeros(base, mean.dtype)
+        samples = jax.vmap(
+            lambda c: ssm.conditional_sample(c, sample_terminal, zeros_base)
+        )(cumulative)
+    else:
+        def body(x, inputs):
+            cond, eps = inputs
+            x_prev = ssm.conditional_sample(cond, x, eps)
+            return x_prev, x_prev
 
-    # Move the time axis of the noise first for scan; the state x broadcasts
-    # over the sample shape inside the (matrix @ batch) products.
-    _, samples = jax.lax.scan(
-        body, sample_terminal, (seq.conditional, eps_steps), reverse=True
-    )
+        # Move the time axis of the noise first for scan; the state x
+        # broadcasts over the sample shape inside the batched products.
+        _, samples = jax.lax.scan(
+            body, sample_terminal, (seq.conditional, eps_steps), reverse=True
+        )
     # samples: (N-1, *shape, *base) forward-time -> (*shape, N-1, *base)
     ndim_shape = len(shape)
     if ndim_shape:
