@@ -364,7 +364,7 @@ def _pallas_step(step_fn, interpret=False, lanes=LANES):
     return call
 
 
-def _state_to_generic(state, ssm, needs_rev):
+def _state_to_generic(state, needs_rev):
     """Lanes-last tuple -> vmapped generic _State (leading batch axis)."""
 
     def t3(x):  # (a, b, B) -> (B, a, b)
@@ -550,7 +550,7 @@ def solve_save_at_batched(
             return step_call(s, t_next_v, atol, rtol, dt_max_v, dt_floor_v, tiny_v)
 
         state = jax.lax.while_loop(cond, body, state)
-        gen = _state_to_generic(state, ssm, needs_rev)
+        gen = _state_to_generic(state, needs_rev)
         (rv_e, cond_e), gen2 = interp_v(gen, t_next)
         state2 = _generic_to_state(gen2, needs_rev, dtype)
         return state2, (rv_e, cond_e, gen2.num_steps)
