@@ -516,6 +516,32 @@ def solve_adaptive_save_every_step_bounded(
 
 
 @_full_precision
+def compact_bounded_solution(solution: Solution, valid) -> Solution:
+    """Host-side compaction of a bounded save-every-step solution.
+
+    Drops the masked (rejected / past-t1) entries that
+    ``solve_adaptive_save_every_step_bounded`` pads with; output length is
+    data-dependent, so this runs eagerly (outside jit), mirroring how the
+    eager driver would have stored the trajectory.
+    """
+    import numpy as np
+
+    idx = jnp.asarray(np.flatnonzero(np.asarray(valid)))
+
+    def take(x):
+        return jnp.take(x, idx, axis=0)
+
+    return dataclasses.replace(
+        solution,
+        t=take(solution.t),
+        u=take(solution.u),
+        u_std=take(solution.u_std),
+        output_scale=take(solution.output_scale),
+        posterior=jax.tree.map(take, solution.posterior),
+        num_steps=take(solution.num_steps),
+    )
+
+
 def solve_fixed_grid(vf, init, *, grid, solver):
     """Non-adaptive solve on a user grid (any strategy), one ``lax.scan``.
 

@@ -44,3 +44,23 @@ def test_bounded_matches_eager_save_every_step():
     assert n > 10
     np.testing.assert_allclose(ts_b[:n], np.asarray(sol_eager.t)[:n], rtol=1e-8)
     np.testing.assert_allclose(us_b[:n], np.asarray(sol_eager.u)[:n], rtol=1e-6)
+
+
+def test_compact_bounded_solution():
+    vf_p, init, (t0, t1), asolver = _setup()
+    (sol_b, (valid, _)) = ivpsolve.solve_adaptive_save_every_step_bounded(
+        vf_p, init, t0=t0, t1=t1, dt0=0.1, adaptive_solver=asolver, max_steps=256
+    )
+    sol_c = ivpsolve.compact_bounded_solution(sol_b, valid)
+    sol_e = ivpsolve.solve_adaptive_save_every_step(
+        vf_p, init, t0=t0, t1=t1, dt0=0.1, adaptive_solver=asolver
+    )
+    n = min(len(sol_c.t), len(sol_e.t) - 1)
+    np.testing.assert_allclose(
+        np.asarray(sol_c.t)[:n], np.asarray(sol_e.t)[:n], rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_c.u)[:n], np.asarray(sol_e.u)[:n], rtol=1e-6
+    )
+    # posterior stacks compacted consistently
+    assert sol_c.posterior.init.mean.shape[0] == len(sol_c.t)
