@@ -346,6 +346,20 @@ def _tree_prepend(first, rest):
 
 
 @_full_precision
+def _validate_increasing(ts, name):
+    """Concrete-value misuse guard (skipped for traced arrays inside jit)."""
+    import numpy as np
+
+    try:
+        arr = np.asarray(ts)
+    except Exception:
+        return  # traced: shapes-only, cannot validate values
+    if arr.ndim != 1 or arr.size == 0:
+        raise ValueError(f"{name} must be a non-empty 1-D array")
+    if arr.size > 1 and not np.all(np.diff(arr) > 0):
+        raise ValueError(f"{name} must be strictly increasing")
+
+
 def solve_adaptive_save_at(vf, init, *, save_at, dt0, adaptive_solver):
     """Adaptive solve with O(#save_at) memory (the paper's flagship driver).
 
@@ -359,6 +373,7 @@ def solve_adaptive_save_at(vf, init, *, save_at, dt0, adaptive_solver):
     ssm = solver.ssm
     strategy = solver.strategy
     rv0, scale0 = init
+    _validate_increasing(save_at, "save_at")
     state0 = _init_state(asolver, init, save_at[0], dt0)
     step = _make_step(vf, asolver, scale0, dt_max=save_at[-1] - save_at[0])
 
@@ -554,6 +569,7 @@ def solve_fixed_grid(vf, init, *, grid, solver):
     strategy = solver.strategy
     rv0, scale0 = init
     dtype = rv0.mean.dtype
+    _validate_increasing(grid, "grid")
     grid = jnp.asarray(grid, dtype)
 
     def scan_fn(carry, t_dt):
