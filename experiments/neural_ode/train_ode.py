@@ -20,7 +20,6 @@ import jax
 jax.config.update("jax_platforms", os.environ.get("ODECKPT_PLATFORM", "cpu"))
 jax.config.update("jax_enable_x64", True)
 
-import jax.flatten_util  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from odecheckpts_tpu import control_flow, facade, problems, train  # noqa: E402
@@ -38,29 +37,26 @@ def main(num_epochs=250, max_steps=128, lr=1e-2):
     solve = facade.solve(
         "ts0-4", vf, u0[0], grid, dt0=0.1, atol=1e-3, rtol=1e-2, calibrate="none"
     )
-    flat, unflatten = jax.flatten_util.ravel_pytree((params,))
-    loss_fn = train.loss(solve, unflatten)
-    optimizer = optax.adam(lr)
-    update_fn = train.update(optimizer, loss_fn)
+    obs = train.Observations(ts=grid, ys=data, noise_std=1e-1)
+    loss_fn = train.nlml(solve, obs, u0=u0)
 
-    p = flat
-    opt_state = optimizer.init(p)
-    kwargs = dict(X=grid, y=data, stdev=1e-1, scale=1.0, u0=u0)
-    losses = []
-    with control_flow.overwrite_with_bounded(max_steps=max_steps):
-        try:
-            for epoch in range(num_epochs):
-                p, opt_state, info = update_fn(p, opt_state, **kwargs)
-                losses.append(float(info["loss"]))
-                if epoch % 10 == 0:
-                    print(f"epoch {epoch}: loss {losses[-1]:.3f}", flush=True)
-        except KeyboardInterrupt:  # keep partial results, like the reference
-            pass
+    def progress(epoch, value):
+        if epoch % 10 == 0:
+            print(f"epoch {epoch}: loss {value:.3f}", flush=True)
+
+    theta, losses = train.fit(
+        loss_fn,
+        params,
+        optax.adam(lr),
+        num_steps=num_epochs,
+        max_solver_steps=max_steps,
+        callback=progress,
+    )
 
     here = os.path.dirname(__file__)
     jnp.save(os.path.join(here, "losses.npy"), jnp.asarray(losses))
     with control_flow.overwrite_with_bounded(max_steps=max_steps):
-        y_fit, _ = solve(u0, unflatten(p)[0])
+        y_fit, _ = solve(u0, theta)
     jnp.save(os.path.join(here, "fit.npy"), y_fit)
     jnp.save(os.path.join(here, "data.npy"), data)
     print(f"final loss: {losses[-1]:.3f} (initial {losses[0]:.3f})")

@@ -430,6 +430,70 @@ def _generic_to_state(s: _State, needs_rev, dtype):
     )
 
 
+def estimate_solve_bytes(
+    batch, d, *, num_derivatives=4, num_save_at=5, dtype=jnp.float32
+):
+    """Predict the peak HBM footprint of ``solve_save_at_batched``.
+
+    Memory model (conservative upper bound, validated against observed device
+    memory stats):
+
+    * while-loop state: 4 arrays of (n, d, B), 6 of (n, n, B), 7 of (1, B)
+      -- times 3 copies (carry + kernel out + XLA temp);
+    * scan-stacked posterior: T x B x (2 rvs blocks + 3 conditional blocks)
+      -- times 3 (stack + batch-major transpose + smoothing temporaries);
+    * x64-on-TPU emulation roughly doubles the working set (double-double
+      temporaries), folded in as an extra factor 2 for 8-byte dtypes.
+
+    The observed TPU-worker crash this guards against: f64 ensembles at
+    batch 1024 x d=64 (ROADMAP round-1 item 5).
+    """
+    n = num_derivatives + 1
+    itemsize = jnp.dtype(dtype).itemsize
+    per_lane_state = 4 * n * d + 6 * n * n + 7
+    per_lane_stack = num_save_at * (2 * (n * d) + 3 * (n * n) + 1)
+    factor = 3 * (2 if itemsize >= 8 else 1)
+    return int(batch) * itemsize * factor * (per_lane_state + per_lane_stack)
+
+
+def _hbm_budget_bytes(default=8 * 1024**3):
+    """Free device memory per the backend allocator; ``default`` when the
+    backend exposes no stats (CPU)."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        in_use = stats.get("bytes_in_use", 0)
+        if limit:
+            return int(limit) - int(in_use)
+    except Exception:
+        pass
+    return default
+
+
+def check_hbm_budget(
+    batch, d, *, num_derivatives=4, num_save_at=5, dtype=jnp.float32, budget="auto"
+):
+    """Predictive admission control (the exp-4 pattern applied to the batched
+    driver): raise before launching a solve whose working set cannot fit."""
+    if budget is None:
+        return
+    need = estimate_solve_bytes(
+        batch, d, num_derivatives=num_derivatives, num_save_at=num_save_at,
+        dtype=dtype,
+    )
+    have = _hbm_budget_bytes() if budget == "auto" else int(budget)
+    if need > have:
+        max_batch = max(1, int(batch) * have // max(need, 1))
+        raise MemoryError(
+            f"batched solve needs ~{need / 1e9:.2f} GB but only "
+            f"{have / 1e9:.2f} GB of device memory is available "
+            f"(batch={batch}, d={d}, nu={num_derivatives}, T={num_save_at}, "
+            f"dtype={jnp.dtype(dtype).name}). Reduce the batch to "
+            f"<= ~{max_batch} or split across devices "
+            f"(parallel.shard_batched_solve)."
+        )
+
+
 def solve_save_at_batched(
     vf,
     u0s,
@@ -446,6 +510,7 @@ def solve_save_at_batched(
     interpret=False,
     vf_vectorized=True,
     lanes=None,
+    hbm_budget="auto",
 ):
     """Batched fixed-memory adaptive solve, fused step kernel.
 
@@ -457,6 +522,10 @@ def solve_save_at_batched(
     from . import ivpsolvers, stats, taylor
 
     b, d = u0s.shape
+    check_hbm_budget(
+        b, d, num_derivatives=num_derivatives, num_save_at=len(save_at),
+        dtype=u0s.dtype, budget=hbm_budget,
+    )
     lane_width = lanes or min(LANES * 8, max(LANES, b))
     pad = (-b) % lane_width
     if pad:

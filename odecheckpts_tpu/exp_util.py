@@ -1,58 +1,131 @@
-"""Experiment utilities: figure styling and pytree random sampling.
+"""Experiment utilities: descriptor-driven figure styling + pytree sampling.
 
-Parity with /root/reference/src/odecheckpts/exp_util.py (plot_params:8,
-fontsize_uniform:24, Style:35, style_harder:46, style_simple:102,
-tree_random_like:174).  The tueplots dependency is optional: the style dicts
-fall back to plain matplotlib rcParams when it is absent.
+Covers the capability surface of the reference's experiment utilities
+(/root/reference/src/odecheckpts/exp_util.py — plot params, per-algorithm
+styles for the two work-precision figures, random pytrees) with a different
+architecture: each benchmark label is parsed ONCE into a typed
+:class:`AlgorithmSpec`, and every visual attribute (marker, color, zorder,
+linestyle, legend text) is a declarative table lookup / formatter on that
+spec.  Adding an algorithm family means adding one table row, not editing
+five substring if-chains.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import re
 from typing import Callable, Optional
 
 import jax
-import jax.flatten_util
 
 
-def plot_params():
-    try:
-        from tueplots import axes  # type: ignore
+# ---------------------------------------------------------------------------
+# rcParams helpers
 
-        extra = {
-            **axes.lines(),
-            **axes.legend(),
-            **axes.grid(),
-            **axes.tick_direction(x="in", y="in"),
-        }
-    except ImportError:
-        extra = {
-            "axes.grid": True,
-            "grid.linestyle": "dotted",
-            "xtick.direction": "in",
-            "ytick.direction": "in",
-        }
-    return {
+
+def plot_params() -> dict:
+    """Figure-wide rcParams; uses tueplots when available, else a fallback."""
+    rc = {
         "markers.fillstyle": "none",
         "figure.constrained_layout.use": True,
         "lines.markeredgewidth": 0.5,
-        **extra,
     }
+    try:
+        from tueplots import axes  # type: ignore
+
+        for group in (
+            axes.lines(),
+            axes.legend(),
+            axes.grid(),
+            axes.tick_direction(x="in", y="in"),
+        ):
+            rc.update(group)
+    except ImportError:
+        rc.update(
+            {
+                "axes.grid": True,
+                "grid.linestyle": "dotted",
+                "xtick.direction": "in",
+                "ytick.direction": "in",
+            }
+        )
+    return rc
 
 
-def fontsize_uniform(base):
-    return {
-        "font.size": base,
-        "axes.labelsize": "medium",
-        "axes.titlesize": "medium",
-        "legend.fontsize": "small",
-        "xtick.labelsize": "small",
-        "ytick.labelsize": "small",
-    }
+def fontsize_uniform(base: float) -> dict:
+    """One base font size; every derived element scales off the medium/small
+    matplotlib relative sizes."""
+    rc = {"font.size": base}
+    for element, relative in [
+        ("axes.labelsize", "medium"),
+        ("axes.titlesize", "medium"),
+        ("legend.fontsize", "small"),
+        ("xtick.labelsize", "small"),
+        ("ytick.labelsize", "small"),
+    ]:
+        rc[element] = relative
+    return rc
+
+
+# ---------------------------------------------------------------------------
+# Algorithm descriptors
+
+
+@dataclasses.dataclass(frozen=True)
+class AlgorithmSpec:
+    """Structured description of a benchmark algorithm label.
+
+    ``family``: "prob" (probabilistic solver) or "rk" (Runge–Kutta baseline).
+    ``name``: the solver name token ("TS0", "Prob", "Bosh3", ...).
+    ``order``: the parenthesised derivative/method order, when present.
+    ``variant``: the parenthesised execution variant, e.g. "jit loop"
+    (checkpointed save_at) or "jit step" (interpolation re-solve).
+    """
+
+    family: str
+    name: str
+    order: Optional[int]
+    variant: Optional[str]
+
+    @property
+    def order_digit(self) -> Optional[int]:
+        """Order for line styling; RK names carry it as a trailing digit
+        (Bosh3, Tsit5, Dopri8)."""
+        if self.order is not None:
+            return self.order
+        digits = re.findall(r"\d", self.name)
+        return int(digits[-1]) if digits else None
+
+
+_NAME_RE = re.compile(r"(?P<name>[A-Za-z][A-Za-z0-9]*)\((?P<order>\d*)\)")
+_VARIANT_RE = re.compile(r"\((?P<variant>[a-z][^)]*)\)")
+
+
+def parse_label(label: str) -> AlgorithmSpec:
+    """Parse labels like ``"TS0(4) (jit loop) via probabilistic"`` or
+    ``"Bosh3() via rk"`` into an :class:`AlgorithmSpec`."""
+    m = _NAME_RE.search(label)
+    if m is None:
+        raise ValueError(f"unrecognised algorithm label: {label!r}")
+    order = int(m.group("order")) if m.group("order") else None
+    v = _VARIANT_RE.search(label, m.end())
+    variant = v.group("variant") if v else None
+    lowered = label.lower()
+    family = "prob" if ("prob" in lowered or "ts" in lowered) else "rk"
+    return AlgorithmSpec(
+        family=family, name=m.group("name"), order=order, variant=variant
+    )
+
+
+# ---------------------------------------------------------------------------
+# Styles: one table per figure, one Style object facing the plot scripts
 
 
 @dataclasses.dataclass
 class Style:
+    """Per-label style accessors (the plot scripts call these with the raw
+    benchmark label; resolution goes through :func:`parse_label`)."""
+
     marker: Callable[[str], str]
     label: Callable[[str], str]
     color: Callable[[str], str]
@@ -62,121 +135,114 @@ class Style:
     zorder: Callable[[str], int]
 
 
-def style_harder():
-    """Per-algorithm styling keyed by substrings of the algorithm label."""
+#: order digit -> linestyle, shared by both work-precision figures: low-order
+#: methods dotted, mid-order solid, high-order dashed.
+LINESTYLE_BY_ORDER = {
+    2: "dotted",
+    3: "dotted",
+    4: "solid",
+    5: "solid",
+    7: "dashed",
+    8: "dashed",
+}
 
-    def label(string, /):
-        string = string.replace("()", "")
-        string = string.replace(" via probabilistic", "")
-        string = string.replace(" via rk", "")
-        if "rob" in string:
-            string = string.replace(")", "; ours)")
-        else:
-            string = f"RK: {string}"
-        return string
 
-    def marker(string, /):
-        if "rk" in string.lower():
-            return "P"
-        if "prob" in string.lower():
-            return "o"
+def _linestyle(spec: AlgorithmSpec) -> str:
+    try:
+        return LINESTYLE_BY_ORDER[spec.order_digit]
+    except KeyError:
+        raise ValueError(f"no linestyle for order {spec.order_digit!r}") from None
 
-    def linestyle(string, /):
-        if "2" in string.lower() or "3" in string.lower():
-            return "dotted"
-        if "4" in string.lower() or "5" in string.lower():
-            return "solid"
-        if "7" in string.lower() or "8" in string.lower():
-            return "dashed"
-        raise ValueError(string)
 
-    def color(string, /):
-        if "prob" in string.lower():
-            return "C0"
-        if "rk" in string.lower():
-            return "C2"
-        raise ValueError(string)
+def _style_from_tables(
+    key_of: Callable[[AlgorithmSpec], object],
+    tables: dict,
+    legend: Callable[[AlgorithmSpec], str],
+    *,
+    alpha_line: Optional[float] = None,
+) -> Style:
+    def lookup(attribute):
+        table = tables[attribute]
 
-    def zorder(string, /):
-        if "prob" in string.lower():
-            return 1
-        if "rk" in string.lower():
-            return 0
-        raise ValueError(string)
+        def get(label: str, /):
+            spec = parse_label(label)
+            try:
+                return table[key_of(spec)]
+            except KeyError:
+                raise ValueError(
+                    f"no {attribute} entry for {label!r} (key {key_of(spec)!r})"
+                ) from None
+
+        return get
 
     return Style(
-        marker=marker,
-        label=label,
-        color=color,
-        linestyle=linestyle,
-        alpha_line=None,
-        alpha_fill_between=lambda _s: 0.0,
-        zorder=zorder,
+        marker=lookup("marker"),
+        color=lookup("color"),
+        zorder=lookup("zorder"),
+        linestyle=lambda s, /: _linestyle(parse_label(s)),
+        label=lambda s, /: legend(parse_label(s)),
+        alpha_line=None if alpha_line is None else (lambda _s, /: alpha_line),
+        alpha_fill_between=lambda _s, /: 0.0,
     )
 
 
-def style_simple():
-    def marker(string, /):
-        if "step" in string.lower():
-            return "^"
-        if "loop" in string.lower():
-            return "o"
-        if "rk" in string.lower():
-            return "s"
-        raise ValueError(string)
+def style_simple() -> Style:
+    """Experiment-2 figure: distinguish execution variants of the
+    probabilistic solver (checkpoint "jit loop" vs interpolation "jit step")
+    from the RK baselines."""
 
-    def color(string, /):
-        if "loop" in string.lower():
-            return "C0"
-        if "step" in string.lower():
-            return "C1"
-        if "rk" in string.lower():
-            return "C2"
-        raise ValueError(string)
+    def key(spec: AlgorithmSpec):
+        if spec.family == "rk":
+            return "rk"
+        return "loop" if "loop" in (spec.variant or "") else "step"
 
-    def zorder(string, /):
-        if "step" in string.lower():
-            return 1
-        if "loop" in string.lower():
-            return 2
-        if "rk" in string.lower():
-            return 0
-        raise ValueError(string)
+    tables = {
+        "marker": {"loop": "o", "step": "^", "rk": "s"},
+        "color": {"loop": "C0", "step": "C1", "rk": "C2"},
+        "zorder": {"loop": 2, "step": 1, "rk": 0},
+    }
 
-    def label(string, /):
-        string = string.replace("()", "")
-        string = string.replace("via probabilistic", "")
-        if "rk" in string:
-            string = string.replace("via rk", "")
-            string = f"RK: {string}"
-        if "TS" in string:
-            string = string.replace("TS0", "Prob")
-        if "loop" in string:
-            string = string.replace("loop)", "loop; ours)")
-        return string
+    def legend(spec: AlgorithmSpec) -> str:
+        if spec.family == "rk":
+            return f"RK: {spec.name}"
+        suffix = "; ours" if "loop" in (spec.variant or "") else ""
+        return f"Prob({spec.order}) ({spec.variant}{suffix})"
 
-    def linestyle(string, /):
-        for ch in "23":
-            if ch in string.lower():
-                return "dotted"
-        for ch in "45":
-            if ch in string.lower():
-                return "solid"
-        raise ValueError(string)
+    return _style_from_tables(key, tables, legend, alpha_line=0.99)
 
-    return Style(
-        marker=marker,
-        label=label,
-        color=color,
-        alpha_fill_between=lambda _s: 0.0,
-        linestyle=linestyle,
-        alpha_line=lambda _s: 0.99,
-        zorder=zorder,
-    )
+
+def style_harder() -> Style:
+    """Experiment-3 figure: probabilistic solvers vs RK baselines, orders
+    separated by linestyle only."""
+
+    tables = {
+        "marker": {"prob": "o", "rk": "P"},
+        "color": {"prob": "C0", "rk": "C2"},
+        "zorder": {"prob": 1, "rk": 0},
+    }
+
+    def legend(spec: AlgorithmSpec) -> str:
+        if spec.family == "rk":
+            return f"RK: {spec.name}"
+        return f"{spec.name}({spec.order}; ours)"
+
+    return _style_from_tables(lambda spec: spec.family, tables, legend)
+
+
+# ---------------------------------------------------------------------------
+# Random pytrees
 
 
 def tree_random_like(key, tree):
-    """Standard-normal sample shaped like an arbitrary pytree (reference :174)."""
-    flat, unflatten = jax.flatten_util.ravel_pytree(tree)
-    flat = jax.random.normal(key, shape=flat.shape, dtype=flat.dtype)
-    return unflatten(flat)
+    """Standard-normal sample with the structure/shapes/dtypes of ``tree``.
+
+    Implemented leaf-wise with split keys (not via ravel_pytree), so the
+    sample for one leaf does not depend on the sizes of the other leaves.
+    """
+    leaves, treedef = jax.tree.flatten(tree)
+    keys = jax.random.split(key, len(leaves))
+    samples = [
+        jax.random.normal(k, shape=leaf.shape, dtype=leaf.dtype)
+        for k, leaf in zip(keys, leaves)
+    ]
+    return jax.tree.unflatten(treedef, samples)

@@ -345,7 +345,6 @@ def _tree_prepend(first, rest):
     return jax.tree.map(lambda f, r: jnp.concatenate([f[None], r]), first, rest)
 
 
-@_full_precision
 def _validate_increasing(ts, name):
     """Concrete-value misuse guard (skipped for traced arrays inside jit)."""
     import numpy as np
@@ -530,7 +529,6 @@ def solve_adaptive_save_every_step_bounded(
     return _maybe_rescale(solver, final2, sol), (valid, (rv_e, cond_e))
 
 
-@_full_precision
 def compact_bounded_solution(solution: Solution, valid) -> Solution:
     """Host-side compaction of a bounded save-every-step solution.
 

@@ -1,47 +1,114 @@
-"""Training utilities: ODE parameter estimation via the posterior likelihood.
+"""Parameter estimation for ODEs via the posterior marginal likelihood.
 
-Parity with /root/reference/src/odecheckpts/train_util.py (loss:9, update:30)
-plus the differentiability machinery the reference pulls from equinox
-(bounded while loop: experiments/old/neural_ode/train_ode.py:69-71,119-121) --
-here provided natively by ``control_flow.overwrite_with_bounded``.
+Covers the capability of the reference's training utilities
+(/root/reference/src/odecheckpts/train_util.py and the bounded-while-loop
+machinery its experiments pull from equinox,
+experiments/old/neural_ode/train_ode.py:69-121) with a different design:
+
+* parameters are an arbitrary pytree handled directly by optax — no
+  ravel/unflatten round-trip through a flat vector;
+* the data enters once, as an :class:`Observations` record closed over by the
+  loss builder, so the per-step function signature is just ``(theta)``;
+* :func:`fit` runs the whole optimisation under the bounded while loop
+  (reverse-mode AD through the adaptive solve) in one call.
 """
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
-from . import stats
+from . import control_flow, stats
 
 
-def loss(solver: Callable, unflatten: Callable):
-    """Negative log-marginal-likelihood loss from the solver posterior."""
+class Observations(NamedTuple):
+    """Noisy trajectory observations on the solver's save_at grid.
 
-    @jax.jit
-    def loss_fn(params, *, X, y, stdev, scale, u0):
-        (p,) = unflatten(params)
-        sol, info = solver(u0, p, output_scale=scale)
-        posterior = info["solution"].posterior
-        observation_std = jnp.ones_like(X) * stdev
-        marginal_likelihood = stats.log_marginal_likelihood(
-            y[:, None], standard_deviation=observation_std, posterior=posterior
+    ``ts``: (T,) observation times (must equal the grid the solve closure was
+    built with).  ``ys``: (T,) or (T, d) observed values.  ``noise_std``:
+    scalar or (T,) observation noise standard deviation.
+    """
+
+    ts: jax.Array
+    ys: jax.Array
+    noise_std: jax.Array | float
+
+
+def nlml(solve: Callable, observations: Observations, *, u0, output_scale=1.0):
+    """Build ``loss(theta) = -log p(ys | theta)`` from a solve closure.
+
+    ``solve`` is a facade-style closure ``solve(u0, theta, output_scale=...)``
+    whose aux dict exposes the posterior (``info["solution"].posterior``);
+    ``theta`` may be any pytree of vector-field parameters.
+    """
+    ys = jnp.asarray(observations.ys)
+    if ys.ndim == 1:
+        ys = ys[:, None]
+    std = jnp.broadcast_to(
+        jnp.asarray(observations.noise_std), jnp.shape(observations.ts)
+    )
+
+    def loss_fn(theta):
+        _u, info = solve(u0, theta, output_scale=output_scale)
+        lml = stats.log_marginal_likelihood(
+            ys, standard_deviation=std, posterior=info["solution"].posterior
         )
-        return -1.0 * marginal_likelihood
+        return -lml
 
     return loss_fn
 
 
-def update(optimizer, loss_fn, /):
-    """Single jitted optimization step (optax)."""
+def gradient_step(loss_fn: Callable, optimizer):
+    """Jitted single optimisation step: ``(theta, opt_state) -> (theta',
+    opt_state', loss_value)``."""
     import optax
 
     @jax.jit
-    def update_fn(params, opt_state, **kwargs):
-        loss_val, grads = jax.value_and_grad(loss_fn)(params, **kwargs)
+    def step(theta, opt_state):
+        value, grads = jax.value_and_grad(loss_fn)(theta)
         updates, opt_state = optimizer.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, {"loss": loss_val}
+        return optax.apply_updates(theta, updates), opt_state, value
 
-    return update_fn
+    return step
+
+
+def fit(
+    loss_fn: Callable,
+    theta0,
+    optimizer,
+    *,
+    num_steps: int,
+    max_solver_steps: Optional[int] = None,
+    callback: Optional[Callable[[int, float], None]] = None,
+):
+    """Run ``num_steps`` of gradient descent on ``loss_fn``.
+
+    When ``max_solver_steps`` is set, the whole loop (including tracing) runs
+    under the bounded while loop so the adaptive solve inside ``loss_fn`` is
+    reverse-mode differentiable.  Interruptible: Ctrl-C returns the progress
+    so far (the reference keeps partial results the same way,
+    train_ode.py:90-91).  Returns ``(theta, losses)``.
+    """
+    step = gradient_step(loss_fn, optimizer)
+    theta, opt_state = theta0, optimizer.init(theta0)
+    losses = []
+
+    def run():
+        nonlocal theta, opt_state
+        try:
+            for i in range(num_steps):
+                theta, opt_state, value = step(theta, opt_state)
+                losses.append(float(value))
+                if callback is not None:
+                    callback(i, losses[-1])
+        except KeyboardInterrupt:
+            pass
+
+    if max_solver_steps is not None:
+        with control_flow.overwrite_with_bounded(max_steps=max_solver_steps):
+            run()
+    else:
+        run()
+    return theta, losses

@@ -42,6 +42,31 @@ def test_xla_engine_matches_generic_vmapped_solver(strategy):
     )
 
 
+def test_hbm_guard_estimate_is_monotone_and_guard_raises():
+    # monotone in batch, dim, and checkpoint count
+    kw = dict(num_derivatives=4, num_save_at=200, dtype=jnp.float64)
+    e1 = batched.estimate_solve_bytes(256, 64, **kw)
+    e2 = batched.estimate_solve_bytes(1024, 64, **kw)
+    e3 = batched.estimate_solve_bytes(1024, 128, **kw)
+    assert e1 < e2 < e3
+
+    # the round-1 crash config (f64, batch 1024, d=64, 200 save_at) must trip
+    # a 16 GB v5e-like budget check... scaled: assert it raises on a budget
+    # smaller than its own estimate, with an actionable message
+    with pytest.raises(MemoryError, match="Reduce the batch"):
+        batched.check_hbm_budget(1024, 64, budget=e2 - 1, **kw)
+    batched.check_hbm_budget(1024, 64, budget=e2 + 1, **kw)  # fits: no raise
+    batched.check_hbm_budget(1024, 64, budget=None, **kw)  # disabled
+
+    # end-to-end: the solve itself refuses before tracing any compute
+    vf, params, save_at, u0s, tols = _inputs(batch=8, dtype=jnp.float32)
+    with pytest.raises(MemoryError):
+        batched.solve_save_at_batched(
+            vf, u0s, params, save_at=save_at, dt0=0.1, tols=tols,
+            engine="xla", hbm_budget=1024,
+        )
+
+
 def test_pallas_interpret_matches_xla_engine():
     vf, params, save_at, u0s, tols = _inputs(dtype=jnp.float32)
     kw = dict(save_at=save_at, dt0=0.1, tols=tols)

@@ -7,7 +7,6 @@ parameters, through the PI-adaptive loop, using the bounded while loop.
 """
 
 import jax
-import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -34,18 +33,17 @@ def test_gradient_through_adaptive_solver_is_finite_and_points_to_truth():
     solve = facade.solve(
         "ts0-3", vf, u0[0], save_at, dt0=0.1, atol=1e-6, rtol=1e-6, calibrate="none"
     )
-    flat, unflatten = jax.flatten_util.ravel_pytree((jnp.asarray(1.0),))
-    loss_fn = train.loss(solve, unflatten)
+    obs = train.Observations(ts=save_at, ys=y, noise_std=1e-3)
+    loss_fn = train.nlml(solve, obs, u0=u0)
 
     with control_flow.overwrite_with_bounded(max_steps=256):
-        kwargs = dict(X=save_at, y=y, stdev=1e-3, scale=1.0, u0=u0)
-        l1, g1 = jax.value_and_grad(loss_fn)(jnp.asarray([1.0]), **kwargs)
-        l2, g2 = jax.value_and_grad(loss_fn)(jnp.asarray([1.4]), **kwargs)
+        l1, g1 = jax.jit(jax.value_and_grad(loss_fn))(jnp.asarray(1.0))
+        l2, _g2 = jax.jit(jax.value_and_grad(loss_fn))(jnp.asarray(1.4))
 
-    assert np.isfinite(float(l1)) and np.isfinite(float(g1[0]))
+    assert np.isfinite(float(l1)) and np.isfinite(float(g1))
     # truth (a=1.4) must have lower loss; gradient at a=1.0 points towards it
     assert float(l2) < float(l1)
-    assert float(g1[0]) < 0.0
+    assert float(g1) < 0.0
 
 
 @pytest.mark.slow
@@ -55,19 +53,17 @@ def test_optimization_recovers_parameter():
     solve = facade.solve(
         "ts0-3", vf, u0[0], save_at, dt0=0.1, atol=1e-6, rtol=1e-6, calibrate="none"
     )
-    flat, unflatten = jax.flatten_util.ravel_pytree((jnp.asarray(1.0),))
-    loss_fn = train.loss(solve, unflatten)
-    optimizer = optax.adam(0.1)
-    params = jnp.asarray([0.8])
-    opt_state = optimizer.init(params)
-    update = train.update(optimizer, loss_fn)
+    obs = train.Observations(ts=save_at, ys=y, noise_std=1e-3)
+    loss_fn = train.nlml(solve, obs, u0=u0)
 
-    with control_flow.overwrite_with_bounded(max_steps=256):
-        for _ in range(60):
-            params, opt_state, info = update(
-                params, opt_state, X=save_at, y=y, stdev=1e-3, scale=1.0, u0=u0
-            )
-    assert abs(float(params[0]) - 1.4) < 0.05, (params, info)
+    theta, losses = train.fit(
+        loss_fn,
+        jnp.asarray(0.8),
+        optax.adam(0.1),
+        num_steps=60,
+        max_solver_steps=256,
+    )
+    assert abs(float(theta) - 1.4) < 0.05, (theta, losses[-5:])
 
 
 def test_bounded_while_loop_matches_unbounded():
