@@ -7,6 +7,9 @@ test:
 test-fast:
 	python -m pytest tests/ -x -q -m "not slow"
 
+lint:
+	-python -m pre_commit run --all-files
+
 format-and-lint:
 	-python -m ruff check odecheckpts_tpu tests experiments --fix
 	-python -m ruff format odecheckpts_tpu tests experiments

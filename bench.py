@@ -1,86 +1,251 @@
-"""Headline benchmark: batched adaptive probabilistic solves per second.
+"""Headline benchmark: batched adaptive work-precision across rtol 1e-1..1e-9.
 
-Workload: the reference's work-precision configuration (rigid body, TS0(4),
-fixedpoint strategy, 5 checkpoints, adaptive PI control -- see
-/root/reference/experiments/2_workprec_simple/run_simple.py:49-56) executed as
-a 1024-member IVP ensemble on one TPU chip, swept over tolerances, using the
-fused lanes-last Pallas step kernel (batched.solve_save_at_batched) with the
-generic vmapped path as fallback.
+Workload: the reference's work-precision configuration — rigid body,
+tspan (0, 50), TS0(4), fixedpoint strategy, 5 checkpoints, adaptive PI
+control, atol = 1e-3*rtol (/root/reference/experiments/2_workprec_simple/
+run_simple.py:22,40-56) — executed as large IVP ensembles on one TPU chip
+with the fused lanes-last step kernel (batched.solve_save_at_batched):
 
-Baseline: the reference's committed CPU timings for the same solver/problem
-(BASELINE.md experiment 2: TS0(4) "jit loop" work_min per tolerance).  NB the
-reference multiplies its labeled tolerance by 100 before building the solver
-(run_simple.py:40-42), so rows labeled 1e-3/1e-5 ran at rtol 1e-1/1e-3 with
-atol = 1e-3 * rtol -- the exact configs reproduced here.  The metric divides
-batched TPU throughput by the reference's single-solve CPU rate;
+* rtol 1e-1..1e-5 in float32 (Pallas engine, batch 32768),
+* rtol 1e-6..1e-9 in float64 (slow-but-correct TPU x64; Pallas if Mosaic
+  lowers it, else the identical fused step under XLA), batch HBM-guarded.
+
+Validation inside the bench (not just finiteness):
+* RMSE against per-lane scipy-LSODA(1e-12) truth on sampled lanes must stay
+  below 10*rtol at every tolerance (reference precision yardstick:
+  run_simple.py:120-121; the reference's own RMSE/rtol ratio is ~0.2).
+* Pallas-vs-XLA engine equivalence at bench scale ("engine_match": max |du|
+  across a 1024-lane sub-batch at rtol 1e-3).
+
+Baseline: the reference's committed per-tolerance CPU work_min for the same
+solver/problem, decoded from experiments/2_workprec_simple/data_results.npy
+(exact for solver rtol 1e-1..1e-7; 1e-8/1e-9 extrapolated at the tail's
+1.26x/decade growth).  ``vs_baseline`` = aggregate TPU solves/s divided by
+the reference's aggregate CPU solves/s over the same tolerance set.
 BASELINE.json's target for this number is >= 10.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "rows",
+"rmse_max_over_rtol", "engine_match"}.
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-# reference work_min seconds/solve at (solver-)rtol 1e-1 and 1e-3
-_REFERENCE_SECONDS_PER_SOLVE = {1e-1: 0.0145, 1e-3: 0.0185}
+# reference work_min seconds/solve, keyed by SOLVER rtol (the reference
+# multiplies its labeled tolerance by 100 before building the solver,
+# run_simple.py:40-42).  1e-8/1e-9 extrapolated from the 1e-6->1e-7 ratio.
+REF_SECONDS = {
+    1e-1: 0.0145, 1e-2: 0.0160, 1e-3: 0.0185, 1e-4: 0.0232, 1e-5: 0.0309,
+    1e-6: 0.0556, 1e-7: 0.0699, 1e-8: 0.0879, 1e-9: 0.1105,
+}
+SWEEP_F32 = [1e-1, 1e-2, 1e-3, 1e-4, 1e-5]
+SWEEP_F64 = [1e-6, 1e-7, 1e-8, 1e-9]
+RMSE_BOUND_FACTOR = 10.0
 
 
-def _run(engine: str):
-    from odecheckpts_tpu import batched, problems
+def _problem():
+    from odecheckpts_tpu import problems
 
-    dtype = jnp.float32
-    vf, (u0,), tspan, params = problems.rigid_body()
-    u0 = u0.astype(dtype)
-    save_at = jnp.linspace(*tspan, num=5, dtype=dtype)
-    # throughput saturates around 32k lanes on one v5e chip (see ROADMAP)
-    batch = 32768
+    vf, (u0,), tspan, params = problems.rigid_body(time_span=(0.0, 50.0))
+    return vf, u0, tspan, params
+
+
+def _u0_ensemble(u0, batch):
     key = jax.random.PRNGKey(0)
-    u0s = u0[None] * (1.0 + 0.05 * jax.random.normal(key, (batch, 3), dtype))
+    noise = jax.random.normal(key, (batch, u0.shape[0]), jnp.float32)
+    return np.asarray(u0, np.float64)[None] * (1.0 + 0.05 * np.asarray(noise, np.float64))
 
-    solve = jax.jit(
+
+def _truth_rows(u0_rows, save_at):
+    """Per-lane scipy LSODA(1e-12) reference at the checkpoints; pure numpy
+    vector field (no device round-trips on the TPU platform)."""
+    import scipy.integrate
+
+    p1, p2, p3 = -2.0, 1.25, -0.5
+
+    def vf_np(_t, y):
+        return [p1 * y[1] * y[2], p2 * y[0] * y[2], p3 * y[0] * y[1]]
+
+    outs = []
+    for row in u0_rows:
+        sol = scipy.integrate.solve_ivp(
+            vf_np, y0=row, t_span=(float(save_at[0]), float(save_at[-1])),
+            t_eval=save_at, rtol=1e-12, atol=1e-12, method="LSODA",
+        )
+        outs.append(sol.y.T)
+    return np.stack(outs)
+
+
+def _make_solver(vf, params, save_at, engine, lanes):
+    from odecheckpts_tpu import batched
+
+    return jax.jit(
         lambda u, t: batched.solve_save_at_batched(
-            vf, u, params, save_at=save_at, dt0=0.1, tols=t, engine=engine,
-            lanes=1024 if engine == "pallas" else None,
+            vf, u, params, save_at=save_at, dt0=0.1, tols=t,
+            engine=engine, lanes=lanes,
         )
     )
 
-    total_solves, total_time = 0, 0.0
-    ref_seconds = []
-    for rtol, ref_s in _REFERENCE_SECONDS_PER_SOLVE.items():
+
+def _sweep(dtype, rtols, batch, engine, *, sample, trace_dir=None):
+    """One compiled program per (dtype, batch, engine); rtol is a runtime
+    input, so every tolerance reuses the compile.  Returns per-rtol rows."""
+    from odecheckpts_tpu import harness
+
+    vf, u0, tspan, params = _problem()
+    save_at_np = np.linspace(tspan[0], tspan[1], num=5)
+    save_at = jnp.asarray(save_at_np, dtype)
+    u0_rows = _u0_ensemble(u0, batch)
+    u0s = jnp.asarray(u0_rows, dtype)
+    # truth must match the dtype-cast initial conditions actually solved
+    truth = _truth_rows(np.asarray(u0s[:sample], np.float64), save_at_np)
+
+    lanes = 1024 if engine == "pallas" else None
+    solve = _make_solver(vf, params, save_at, engine, lanes)
+
+    rows = []
+    for i, rtol in enumerate(rtols):
         tols = jnp.full((batch,), rtol, dtype)
-        u_s, _u_f, _n = solve(u0s, tols)  # compile + warm up
+        u_s, _u_f, n = solve(u0s, tols)  # compile (first rtol only) + warm
         jax.block_until_ready(u_s)
-        t0 = time.perf_counter()
-        u_s, _u_f, _n = solve(u0s, tols)
-        jax.block_until_ready(u_s)
-        elapsed = time.perf_counter() - t0
-        assert bool(jnp.all(jnp.isfinite(u_s))), f"non-finite at rtol={rtol}"
-        total_solves += batch
-        total_time += elapsed
-        ref_seconds.append(ref_s)
-    return total_solves / total_time, len(ref_seconds) / sum(ref_seconds)
+        tracer = (
+            harness.profiler_trace(trace_dir)
+            if (trace_dir and i == 0)
+            else _null_ctx()
+        )
+        try:
+            with tracer:
+                t0 = time.perf_counter()
+                u_s, _u_f, n = solve(u0s, tols)
+                jax.block_until_ready(u_s)
+                elapsed = time.perf_counter() - t0
+        except Exception:
+            t0 = time.perf_counter()
+            u_s, _u_f, n = solve(u0s, tols)
+            jax.block_until_ready(u_s)
+            elapsed = time.perf_counter() - t0
+        err = np.asarray(u_s[:sample], np.float64) - truth
+        rmse = float(np.sqrt(np.mean(err * err)))
+        assert np.isfinite(rmse), f"non-finite solution at rtol={rtol}"
+        assert rmse < RMSE_BOUND_FACTOR * rtol, (
+            f"accuracy gate failed at rtol={rtol}: rmse={rmse:.3e}"
+        )
+        rows.append(
+            {
+                "rtol": rtol,
+                "dtype": np.dtype(dtype).name,
+                "engine": engine,
+                "batch": batch,
+                "seconds": round(elapsed, 4),
+                "solves_per_sec": round(batch / elapsed, 2),
+                "rmse": rmse,
+                "mean_steps": round(float(jnp.mean(n[:, -1].astype(jnp.float32))), 1),
+                "ref_seconds_per_solve": REF_SECONDS[rtol],
+                "speedup_vs_ref": round(batch / elapsed * REF_SECONDS[rtol], 1),
+            }
+        )
+        print(f"# {rows[-1]}", file=sys.stderr, flush=True)
+    return rows
+
+
+class _null_ctx:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def _engine_match(batch=1024):
+    """Max |u_pallas - u_xla| over a sub-batch at rtol 1e-3, f32 — the
+    on-hardware Mosaic-vs-XLA equivalence gate (bench-scale, not interpret)."""
+    vf, u0, tspan, params = _problem()
+    save_at = jnp.linspace(tspan[0], tspan[1], num=5, dtype=jnp.float32)
+    u0s = jnp.asarray(_u0_ensemble(u0, batch), jnp.float32)
+    tols = jnp.full((batch,), 1e-3, jnp.float32)
+    u_p, _, n_p = _make_solver(vf, params, save_at, "pallas", 1024)(u0s, tols)
+    u_x, _, n_x = _make_solver(vf, params, save_at, "xla", None)(u0s, tols)
+    max_du = float(jnp.max(jnp.abs(u_p - u_x)))
+    step_agree = float(jnp.mean((n_p[:, -1] == n_x[:, -1]).astype(jnp.float32)))
+    return max_du, step_agree
 
 
 def main():
+    if os.environ.get("ODECKPT_BENCH_PLATFORM"):  # CPU smoke-testing hook
+        jax.config.update("jax_platforms", os.environ["ODECKPT_BENCH_PLATFORM"])
+    here = os.path.dirname(os.path.abspath(__file__))
+    batch32 = int(os.environ.get("ODECKPT_BENCH_BATCH32", 32768))
+    batch64 = int(os.environ.get("ODECKPT_BENCH_BATCH64", 8192))
+    sample = int(os.environ.get("ODECKPT_BENCH_SAMPLE", 8))
+    trace_dir = os.path.join(here, "experiments", "6_tpu_batched_sweep", "trace")
+
+    rows = []
+    # f32, loose-to-mid tolerances: fused Pallas kernel (fallback: same
+    # lanes-last step under XLA)
     try:
-        solves_per_s, ref_rate = _run("pallas")
-        engine = "pallas"
-    except Exception:
-        solves_per_s, ref_rate = _run("xla")
-        engine = "xla"
+        rows += _sweep(jnp.float32, SWEEP_F32, batch32, "pallas",
+                       sample=sample, trace_dir=trace_dir)
+    except Exception as e:
+        print(f"# pallas f32 failed ({e!r}); XLA fallback", file=sys.stderr)
+        rows += _sweep(jnp.float32, SWEEP_F32, batch32, "xla", sample=sample)
+
+    # f64, tight tolerances (x64 must be on before any f64 array exists)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        try:
+            rows += _sweep(jnp.float64, SWEEP_F64, batch64, "pallas", sample=sample)
+        except Exception as e:
+            print(f"# pallas f64 failed ({e!r}); XLA fallback", file=sys.stderr)
+            rows += _sweep(jnp.float64, SWEEP_F64, batch64, "xla", sample=sample)
+    except Exception as e:
+        print(f"# f64 sweep failed entirely: {e!r}", file=sys.stderr)
+
+    try:
+        max_du, step_agree = _engine_match()
+    except Exception as e:
+        print(f"# engine match failed: {e!r}", file=sys.stderr)
+        max_du, step_agree = None, None
+
+    total_solves = sum(r["batch"] for r in rows)
+    total_time = sum(r["seconds"] for r in rows)
+    ref_rate = len(rows) / sum(r["ref_seconds_per_solve"] for r in rows)
+    solves_per_s = total_solves / total_time
+    rmse_over_rtol = max(r["rmse"] / r["rtol"] for r in rows)
+
+    detail = {
+        "rows": rows,
+        "engine_match_max_du": max_du,
+        "engine_match_step_agreement": step_agree,
+    }
+    out_path = os.path.join(
+        here, "experiments", "6_tpu_batched_sweep", "data_workprec_full.json"
+    )
+    try:
+        with open(out_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+
     print(
         json.dumps(
             {
                 "metric": "batched_adaptive_solves_per_sec",
                 "value": round(solves_per_s, 2),
                 "unit": (
-                    "solves/s (rigid body TS0(4) fixedpoint save_at, batch 32768, "
-                    f"rtol 1e-1/1e-3, fused {engine} step, one TPU chip)"
+                    "solves/s (rigid body tspan(0,50) TS0(4) fixedpoint save_at, "
+                    f"rtol 1e-1..1e-{len(rows)}, f32 batch {batch32} + "
+                    f"f64 batch {batch64}, one TPU chip)"
                 ),
                 "vs_baseline": round(solves_per_s / ref_rate, 2),
+                "rows": len(rows),
+                "rmse_max_over_rtol": round(rmse_over_rtol, 4),
+                "engine_match": max_du,
             }
         )
     )

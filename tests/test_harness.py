@@ -8,20 +8,20 @@ from odecheckpts_tpu import exp_util, facade, harness, ivpsolve, problems
 
 
 def test_workprec_schema_matches_reference_contract():
-    """Record keys the reference benchmark relies on (run_simple.py:208-215)."""
-    vf, u0, tspan, params = problems.logistic()
-    save_at = jnp.linspace(*tspan, num=5)
+    """Record keys the reference benchmark relies on (run_simple.py:208-215).
+
+    Uses a stub algorithm (sol quality proportional to tol) so the harness
+    contract is tested without compiling a solver; the harness-on-real-solver
+    integration is exercised by the experiment scripts and test_facade.
+    """
+    truth = jnp.zeros(5)
 
     def algo(tol):
-        fn = facade.solve(
-            "ts0-3", vf, u0[0], save_at, dt0=0.1, atol=1e-3 * tol, rtol=tol
-        )
-        return fn(u0, params)
+        return truth + tol, {"u0_solve": jnp.zeros(5)}
 
-    reference = algo(1e-8)[0]
     wp = harness.workprec(
         algo,
-        precision_fun=harness.rmse_absolute(reference),
+        precision_fun=harness.rmse_absolute(truth),
         timeit_fun=harness.timeit_fun(2),
     )([1e-3, 1e-5])
     for key in [

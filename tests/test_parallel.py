@@ -65,6 +65,7 @@ def test_sharded_solve_matches_unsharded():
     )
 
 
+@pytest.mark.slow
 def test_dp_train_step_runs_and_improves():
     optax = pytest.importorskip("optax")
     mesh = _mesh("dp")

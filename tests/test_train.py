@@ -21,9 +21,9 @@ def _data(a_true=1.4):
     u0 = (jnp.asarray([0.2]),)
     save_at = jnp.linspace(0.0, 2.0, num=8)
     solve_true = facade.solve(
-        "ts0-3", vf, u0[0], save_at, dt0=0.1, atol=1e-8, rtol=1e-8, calibrate="none"
+        "ts0-3", vf, u0[0], save_at, dt0=0.1, atol=1e-6, rtol=1e-6, calibrate="none"
     )
-    with control_flow.overwrite_with_bounded(max_steps=256):
+    with control_flow.overwrite_with_bounded(max_steps=128):
         y_true = jax.jit(lambda: solve_true(u0, a_true)[0])()
     return vf, u0, save_at, jnp.asarray(y_true)[:, 0], None
 
@@ -31,12 +31,12 @@ def _data(a_true=1.4):
 def test_gradient_through_adaptive_solver_is_finite_and_points_to_truth():
     vf, u0, save_at, y, _ = _data()
     solve = facade.solve(
-        "ts0-3", vf, u0[0], save_at, dt0=0.1, atol=1e-6, rtol=1e-6, calibrate="none"
+        "ts0-3", vf, u0[0], save_at, dt0=0.1, atol=1e-5, rtol=1e-5, calibrate="none"
     )
     obs = train.Observations(ts=save_at, ys=y, noise_std=1e-3)
     loss_fn = train.nlml(solve, obs, u0=u0)
 
-    with control_flow.overwrite_with_bounded(max_steps=256):
+    with control_flow.overwrite_with_bounded(max_steps=128):
         l1, g1 = jax.jit(jax.value_and_grad(loss_fn))(jnp.asarray(1.0))
         l2, _g2 = jax.jit(jax.value_and_grad(loss_fn))(jnp.asarray(1.4))
 
