@@ -162,18 +162,33 @@ class _null_ctx:
         return False
 
 
-def _engine_match(batch=1024):
-    """Max |u_pallas - u_xla| over a sub-batch at rtol 1e-3, f32 — the
-    on-hardware Mosaic-vs-XLA equivalence gate (bench-scale, not interpret)."""
+def _engine_match(batch=1024, rtol=1e-3):
+    """On-hardware Mosaic-vs-XLA gate at bench scale.
+
+    Both engines run the same 1024-lane sub-batch at ``rtol``; each must
+    independently meet the accuracy gate against scipy truth (step sequences
+    are NOT comparable on hardware: accept/reject decisions amplify ULP-level
+    Mosaic/XLA rounding differences into different — equally valid — step
+    sequences, so trajectory diffs measure controller chaos, not kernel
+    error).  Bit-exact engine equality is asserted in interpret mode by
+    tests/test_batched.py.  Returns (max |du| diagnostic, per-engine RMSE).
+    """
     vf, u0, tspan, params = _problem()
-    save_at = jnp.linspace(tspan[0], tspan[1], num=5, dtype=jnp.float32)
+    save_at_np = np.linspace(tspan[0], tspan[1], num=5)
+    save_at = jnp.asarray(save_at_np, jnp.float32)
     u0s = jnp.asarray(_u0_ensemble(u0, batch), jnp.float32)
-    tols = jnp.full((batch,), 1e-3, jnp.float32)
-    u_p, _, n_p = _make_solver(vf, params, save_at, "pallas", 1024)(u0s, tols)
-    u_x, _, n_x = _make_solver(vf, params, save_at, "xla", None)(u0s, tols)
+    tols = jnp.full((batch,), rtol, jnp.float32)
+    truth = _truth_rows(np.asarray(u0s[:32], np.float64), save_at_np)
+    u_p, _, _ = _make_solver(vf, params, save_at, "pallas", 1024)(u0s, tols)
+    u_x, _, _ = _make_solver(vf, params, save_at, "xla", None)(u0s, tols)
+    rmse = {
+        eng: float(np.sqrt(np.mean((np.asarray(u[:32], np.float64) - truth) ** 2)))
+        for eng, u in [("pallas", u_p), ("xla", u_x)]
+    }
+    assert rmse["pallas"] < RMSE_BOUND_FACTOR * rtol, rmse
+    assert rmse["xla"] < RMSE_BOUND_FACTOR * rtol, rmse
     max_du = float(jnp.max(jnp.abs(u_p - u_x)))
-    step_agree = float(jnp.mean((n_p[:, -1] == n_x[:, -1]).astype(jnp.float32)))
-    return max_du, step_agree
+    return max_du, rmse
 
 
 def main():
@@ -195,6 +210,15 @@ def main():
         print(f"# pallas f32 failed ({e!r}); XLA fallback", file=sys.stderr)
         rows += _sweep(jnp.float32, SWEEP_F32, batch32, "xla", sample=sample)
 
+    # engine equivalence gate, f32 -- MUST run before x64 is enabled: with
+    # x64 on, weak Python literals in the kernel promote to f64 and Mosaic's
+    # layout inference aborts on 64-bit vectors
+    try:
+        max_du, engine_rmse = _engine_match()
+    except Exception as e:
+        print(f"# engine match failed: {e!r}", file=sys.stderr)
+        max_du, engine_rmse = None, None
+
     # f64, tight tolerances (x64 must be on before any f64 array exists)
     jax.config.update("jax_enable_x64", True)
     try:
@@ -206,12 +230,6 @@ def main():
     except Exception as e:
         print(f"# f64 sweep failed entirely: {e!r}", file=sys.stderr)
 
-    try:
-        max_du, step_agree = _engine_match()
-    except Exception as e:
-        print(f"# engine match failed: {e!r}", file=sys.stderr)
-        max_du, step_agree = None, None
-
     total_solves = sum(r["batch"] for r in rows)
     total_time = sum(r["seconds"] for r in rows)
     ref_rate = len(rows) / sum(r["ref_seconds_per_solve"] for r in rows)
@@ -221,7 +239,7 @@ def main():
     detail = {
         "rows": rows,
         "engine_match_max_du": max_du,
-        "engine_match_step_agreement": step_agree,
+        "engine_match_rmse": engine_rmse,
     }
     out_path = os.path.join(
         here, "experiments", "6_tpu_batched_sweep", "data_workprec_full.json"
@@ -245,7 +263,11 @@ def main():
                 "vs_baseline": round(solves_per_s / ref_rate, 2),
                 "rows": len(rows),
                 "rmse_max_over_rtol": round(rmse_over_rtol, 4),
-                "engine_match": max_du,
+                "engine_match": (
+                    None
+                    if engine_rmse is None
+                    else {k: round(v, 6) for k, v in engine_rmse.items()}
+                ),
             }
         )
     )

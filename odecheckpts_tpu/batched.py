@@ -141,11 +141,20 @@ def _matmul_ll(a, b, n):
 
 
 def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
-                 calibration="dynamic", control=None):
-    """Lanes-last adaptive attempt; pure jnp (usable inside a Pallas kernel)."""
+                 calibration="dynamic", control=None, ode_order=1):
+    """Lanes-last adaptive attempt; pure jnp (usable inside a Pallas kernel).
+
+    ``ode_order`` in {1, 2}: the TS0 residual observes derivative ``o``
+    (z = u^(o) - vf(u, ..., u^(o-1))), mirroring the generic
+    ``ivpsolvers.linearize`` / isotropic ``error_and_scale_deriv`` semantics
+    for the reference's 2nd-order workloads (three-body/Pleiades,
+    /root/reference/experiments/5_vs_interpolation/measure.py:159-176).
+    ``vf_batched`` takes a tuple of ``ode_order`` lanes-last (d, B) arrays.
+    """
     from .ivpsolve import Control
 
     ctrl = control or Control()
+    o = ode_order
     n = nu + 1
     a_rows, lq_rows, lq_norms, inv_fact = _constants(nu)
     fixedpoint = strategy == "fixedpoint"
@@ -177,10 +186,11 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
         m_bar_pred = _const_matmul(a_rows, m_bar)
         m_pred = p_arr[:, None, :] * m_bar_pred
 
-        # -- linearize (TS0, o=1)
+        # -- linearize (TS0 on derivative o)
         u_pred = _mid(m_pred, 0, axis=0)  # (d, B)
-        fx = vf_batched(u_pred, t_new)
-        z = _mid(m_pred, 1, axis=0) - fx  # (d, B)
+        args = tuple(_mid(m_pred, k, axis=0) for k in range(o))
+        fx = vf_batched(args, t_new)
+        z = _mid(m_pred, o, axis=0) - fx  # (d, B)
 
         # -- local scale + error (solution units); reductions over the tiny
         # d axis are unrolled row-adds (Mosaic: no float reductions over
@@ -188,7 +198,7 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
         def _row(x2, i):
             return jax.lax.slice_in_dim(x2, i, i + 1, axis=0)
 
-        s_unit = p[1] * lq_norms[1]  # (1, B)
+        s_unit = p[o] * lq_norms[o]  # (1, B)
         zz = _row(z, 0) ** 2
         tol_acc = 1.0 / (atol + rtol * jnp.abs(_row(u_pred, 0))) ** 2
         for i in range(1, d):
@@ -243,8 +253,8 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
             l_pred = p_arr[:, None, :] * jnp.swapaxes(r, 0, 1)
             gain = bwd_m_step = bwd_L_step = None
 
-        # -- TS0 correction (rank-1 Potter update on derivative 1)
-        l_obs = _mid(l_pred, 1, axis=0)  # (n, B)
+        # -- TS0 correction (rank-1 Potter update on derivative o)
+        l_obs = _mid(l_pred, o, axis=0)  # (n, B)
         s2 = _row(l_obs, 0) ** 2
         for i in range(1, n):
             s2 = s2 + _row(l_obs, i) ** 2
@@ -511,33 +521,43 @@ def solve_save_at_batched(
     vf_vectorized=True,
     lanes=None,
     hbm_budget="auto",
+    ode_order=1,
 ):
     """Batched fixed-memory adaptive solve, fused step kernel.
 
-    ``u0s``: (B, d); ``tols``: (B,) relative tolerances.  Returns
-    (smoothed u (B, T, d), filtering u (B, T, d), num_steps (B, T)).
-    Engine "xla" runs the identical lanes-last step without Pallas (used as
-    the equivalence oracle in tests).
+    ``u0s``: (B, d) for ``ode_order=1``, or a tuple of ``ode_order`` arrays
+    (B, d) -- e.g. (positions, velocities) for second-order vector fields;
+    ``tols``: (B,) relative tolerances.  Returns (smoothed u (B, T, d),
+    filtering u (B, T, d), num_steps (B, T)).  Engine "xla" runs the
+    identical lanes-last step without Pallas (the equivalence oracle).
     """
     from . import ivpsolvers, stats, taylor
 
-    b, d = u0s.shape
+    u0s_tuple = u0s if isinstance(u0s, tuple) else (u0s,)
+    if len(u0s_tuple) != ode_order:
+        raise ValueError(
+            f"ode_order={ode_order} needs {ode_order} initial arrays, "
+            f"got {len(u0s_tuple)}"
+        )
+    b, d = u0s_tuple[0].shape
     check_hbm_budget(
         b, d, num_derivatives=num_derivatives, num_save_at=len(save_at),
-        dtype=u0s.dtype, budget=hbm_budget,
+        dtype=u0s_tuple[0].dtype, budget=hbm_budget,
     )
     lane_width = lanes or min(LANES * 8, max(LANES, b))
     pad = (-b) % lane_width
     if pad:
-        u0s = jnp.concatenate([u0s, jnp.tile(u0s[:1], (pad, 1))])
+        u0s_tuple = tuple(
+            jnp.concatenate([u, jnp.tile(u[:1], (pad, 1))]) for u in u0s_tuple
+        )
         tols = jnp.concatenate([tols, jnp.full((pad,), tols[0], tols.dtype)])
-    bb = u0s.shape[0]
-    dtype = u0s.dtype
+    bb = u0s_tuple[0].shape[0]
+    dtype = u0s_tuple[0].dtype
     nu = num_derivatives
     save_at = jnp.asarray(save_at, dtype)
 
     ssm = ivpsolvers.prior_ibm(num_derivatives=nu, ode_shape=(d,))
-    corr = ivpsolvers.correction_ts0()
+    corr = ivpsolvers.correction_ts0(ode_order=ode_order)
     strat = {
         "filter": ivpsolvers.strategy_filter,
         "fixedpoint": ivpsolvers.strategy_fixedpoint,
@@ -549,30 +569,36 @@ def solve_save_at_batched(
     )
     needs_rev = strat.needs_reversal
 
-    def vf_p(u, *, t):
-        return vf(u, t=t, p=params)
+    def vf_p(*ys, t):
+        return vf(*ys, t=t, p=params)
 
     if vf_vectorized:
         # Most vector fields (elementwise ops / row indexing / stack) apply
         # unchanged to (d, B) lanes-last arrays -- preferred inside the
         # Pallas kernel (vmap introduces gathers Mosaic cannot lower).
-        def vfb(u_dB, t_1B):
-            return vf_p(u_dB, t=t_1B[0])
+        def vfb(args_dB, t_1B):
+            return vf_p(*args_dB, t=t_1B[0])
 
     else:
         vf_vmapped = jax.vmap(
-            lambda u, t: vf_p(u, t=t), in_axes=(-1, -1), out_axes=-1
+            lambda args, t: vf_p(*args, t=t),
+            in_axes=(tuple([-1] * ode_order), -1),
+            out_axes=-1,
         )
 
-        def vfb(u_dB, t_1B):
-            return vf_vmapped(u_dB, jnp.broadcast_to(t_1B[0], (u_dB.shape[-1],)))
+        def vfb(args_dB, t_1B):
+            bsz = args_dB[0].shape[-1]
+            return vf_vmapped(args_dB, jnp.broadcast_to(t_1B[0], (bsz,)))
 
     # Taylor init per lane (vmapped; one-time cost)
-    def init_one(u0):
-        tco = taylor.odejet_padded_scan(lambda u: vf_p(u, t=save_at[0]), (u0,), num=nu)
+    def init_one(u0_tuple):
+        tco = taylor.odejet_padded_scan(
+            lambda *y: vf_p(*y, t=save_at[0]), u0_tuple,
+            num=nu + 1 - ode_order,
+        )
         return solver_cfg.initial_condition(tco, jnp.ones((), dtype))
 
-    rv0, scale0 = jax.vmap(init_one)(u0s)
+    rv0, scale0 = jax.vmap(init_one)(u0s_tuple)
 
     ident = ssm.identity_conditional(dtype)
     ident_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (bb,) + x.shape), ident)
@@ -592,7 +618,8 @@ def solve_save_at_batched(
     state0 = _generic_to_state(s0_generic, needs_rev, dtype)
 
     step_ll = make_step_ll(
-        vfb, nu=nu, d=d, strategy=strategy, calibration=calibration
+        vfb, nu=nu, d=d, strategy=strategy, calibration=calibration,
+        ode_order=ode_order,
     )
     if engine == "pallas":
         step_call = _pallas_step(step_ll, interpret=interpret, lanes=lane_width)

@@ -42,6 +42,54 @@ def test_xla_engine_matches_generic_vmapped_solver(strategy):
     )
 
 
+def _inputs_order2(batch=8, dtype=jnp.float64, tspan_frac=0.3):
+    """Three-body restricted (2nd-order) ensemble around the Arenstorf orbit
+    (the reference's exp-5 workload, measure.py:159-176); a fraction of the
+    orbit keeps the CPU test quick."""
+    vf, (u0, du0), tspan = problems.three_body_restricted()
+    t1 = tspan[0] + tspan_frac * (tspan[1] - tspan[0])
+    save_at = jnp.linspace(tspan[0], t1, num=4, dtype=dtype)
+    key = jax.random.PRNGKey(1)
+    noise = 1e-3 * jax.random.normal(key, (2, batch, 2), dtype)
+    u0s = u0.astype(dtype)[None] * (1.0 + noise[0])
+    du0s = du0.astype(dtype)[None] * (1.0 + noise[1])
+    tols = jnp.full((batch,), 1e-6, dtype)
+    return vf, save_at, (u0s, du0s), tols
+
+
+def test_order2_xla_engine_matches_generic_vmapped_solver():
+    vf, save_at, u0s, tols = _inputs_order2()
+    u_s, _u_f, nsteps = jax.jit(
+        lambda: batched.solve_save_at_batched(
+            vf, u0s, (), save_at=save_at, dt0=0.01, tols=tols,
+            engine="xla", ode_order=2,
+        )
+    )()
+    assert np.all(np.isfinite(np.asarray(u_s)))
+
+    solve_generic = parallel.build_batched_solve(
+        "ts0-4", vf, u0s[0][0], save_at, dt0=0.01, ode_order=2
+    )
+    u_ref, steps_ref = solve_generic(u0s, (), tols)
+    np.testing.assert_allclose(
+        np.asarray(u_s), np.asarray(u_ref), rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(nsteps[:, -1]), np.asarray(steps_ref), rtol=0.05
+    )
+
+
+def test_order2_pallas_interpret_matches_xla_engine():
+    vf, save_at, u0s, tols = _inputs_order2(dtype=jnp.float32)
+    kw = dict(save_at=save_at, dt0=0.01, tols=tols, ode_order=2)
+    u_x, _, n_x = batched.solve_save_at_batched(vf, u0s, (), engine="xla", **kw)
+    u_p, _, n_p = batched.solve_save_at_batched(
+        vf, u0s, (), engine="pallas", interpret=True, **kw
+    )
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), rtol=2e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_x))
+
+
 def test_hbm_guard_estimate_is_monotone_and_guard_raises():
     # monotone in batch, dim, and checkpoint count
     kw = dict(num_derivatives=4, num_save_at=200, dtype=jnp.float64)
