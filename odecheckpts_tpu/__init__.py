@@ -29,6 +29,7 @@ from . import ivpsolve  # noqa: F401
 from . import ivpsolvers  # noqa: F401
 from . import linalg  # noqa: F401
 from . import parallel  # noqa: F401
+from . import parallel_time  # noqa: F401
 from . import prior  # noqa: F401
 from . import problems  # noqa: F401
 from . import rk  # noqa: F401

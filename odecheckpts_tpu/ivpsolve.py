@@ -555,14 +555,28 @@ def compact_bounded_solution(solution: Solution, valid) -> Solution:
     )
 
 
-def solve_fixed_grid(vf, init, *, grid, solver):
+def solve_fixed_grid(
+    vf, init, *, grid, solver, parallel=False, iterations=8, window=16
+):
     """Non-adaptive solve on a user grid (any strategy), one ``lax.scan``.
 
     Parity: ``ivpsolve.solve_fixed_grid``
     (/root/reference/experiments/1_van_der_pol/vdp.py:90-102,
     experiments/5_vs_interpolation/measure.py:134).  With the smoother
     strategy the result carries the full backward MarkovSeq over the grid, as
-    required for posterior sampling on a "tstops"-style grid."""
+    required for posterior sampling on a "tstops"-style grid.
+
+    ``parallel=True`` (filter strategy only): run the forward pass
+    parallel-in-time -- windows of ``window`` steps as associative scans
+    with ``iterations`` linearization sweeps each; see
+    ``parallel_time.solve_fixed_grid_parallel``."""
+    if parallel:
+        from . import parallel_time
+
+        return parallel_time.solve_fixed_grid_parallel(
+            vf, init, grid=grid, solver=solver, iterations=iterations,
+            window=window,
+        )
     ssm = solver.ssm
     strategy = solver.strategy
     rv0, scale0 = init

@@ -56,8 +56,12 @@ def three_body_restricted():
     def vf(u, du, *, t=None, p=()):
         x1, x2 = u[0], u[1]
         dx1, dx2 = du[0], du[1]
-        d1 = ((x1 + mu) ** 2 + x2**2) ** 1.5
-        d2 = ((x1 - mp) ** 2 + x2**2) ** 1.5
+        # r^3 = r2*sqrt(r2), not r2**1.5: sqrt+mul lowers everywhere
+        # (Mosaic faults on the pow lowering inside the fused TPU kernel)
+        r1 = (x1 + mu) ** 2 + x2**2
+        r2 = (x1 - mp) ** 2 + x2**2
+        d1 = r1 * jnp.sqrt(r1)
+        d2 = r2 * jnp.sqrt(r2)
         ddx1 = x1 + 2.0 * dx2 - mp * (x1 + mu) / d1 - mu * (x1 - mp) / d2
         ddx2 = x2 - 2.0 * dx1 - mp * x2 / d1 - mu * x2 / d2
         return jnp.stack([ddx1, ddx2])

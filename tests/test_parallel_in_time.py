@@ -1,4 +1,4 @@
-"""Parallel-in-time (associative-scan) backward pass vs sequential scan."""
+"""Parallel-in-time passes vs sequential scans (forward filter + backward)."""
 
 import jax
 import jax.numpy as jnp
@@ -63,3 +63,78 @@ def test_parallel_sampling_matches_sequential():
     np.testing.assert_allclose(
         np.asarray(q_par), np.asarray(q_seq), rtol=1e-6, atol=1e-9
     )
+
+
+# -- forward (filter) pass: windowed associative scan -------------------------
+
+
+def _fixed_grid_setup(calib, num=160):
+    vf, u0s, tspan, params = problems.rigid_body()
+    vf_p = lambda u, *, t: vf(u, t=t, p=params)  # noqa: E731
+    nu = 3
+    prior = ivpsolvers.prior_ibm(num_derivatives=nu, ode_shape=(3,))
+    strat = ivpsolvers.strategy_filter(prior, ivpsolvers.correction_ts0())
+    make = {"none": ivpsolvers.solver, "dynamic": ivpsolvers.solver_dynamic}
+    solver = make[calib](strat)
+    tcoeffs = taylor.odejet_padded_scan(lambda u: vf_p(u, t=tspan[0]), u0s, num=nu)
+    init = solver.initial_condition(tcoeffs, 1.0)
+    grid = jnp.linspace(*tspan, num=num)
+    return vf_p, init, grid, solver
+
+
+@pytest.mark.parametrize("calib", ["none", "dynamic"])
+def test_parallel_forward_filter_matches_sequential(calib):
+    """Windowed associative-scan filter == sequential scan within sqrt-eps
+    (isotropic TS0; arXiv:2502.11686-style forward pass)."""
+    vf_p, init, grid, solver = _fixed_grid_setup(calib)
+    sol_seq = ivpsolve.solve_fixed_grid(vf_p, init, grid=grid, solver=solver)
+    sol_par = ivpsolve.solve_fixed_grid(
+        vf_p, init, grid=grid, solver=solver, parallel=True, iterations=20
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_par.u), np.asarray(sol_seq.u), rtol=1e-7, atol=1e-10
+    )
+    # tiny early-time stds carry the covariance jitter (eps * trace) the
+    # parallel path adds before the cholesky; compare with a matching atol
+    np.testing.assert_allclose(
+        np.asarray(sol_par.u_std), np.asarray(sol_seq.u_std), rtol=1e-4, atol=1e-9
+    )
+
+
+def test_parallel_forward_filter_dense_ts1():
+    """Dense TS1 (the VdP configuration).  The covariance-form combination
+    floors at ~cond(Q(dt)) * eps, so the gate is looser than sqrt-eps for
+    nu=4; the square-root element variant is the documented follow-up."""
+    vf, (u0, du0), _tspan = problems.van_der_pol(mu=10.0)
+    nu = 4
+    prior = ivpsolvers.prior_ibm(
+        num_derivatives=nu, ode_shape=(1,), implementation="dense"
+    )
+    strat = ivpsolvers.strategy_filter(
+        prior, ivpsolvers.correction_ts1(ode_order=2)
+    )
+    solver = ivpsolvers.solver_dynamic(strat)
+    tcoeffs = taylor.odejet_padded_scan(
+        lambda *y: vf(*y, t=0.0), (u0, du0), num=nu - 1
+    )
+    init = solver.initial_condition(tcoeffs, 1.0)
+    grid = jnp.linspace(0.0, 2.0, num=400)
+    sol_seq = ivpsolve.solve_fixed_grid(vf, init, grid=grid, solver=solver)
+    sol_par = ivpsolve.solve_fixed_grid(
+        vf, init, grid=grid, solver=solver, parallel=True, iterations=20
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_par.u), np.asarray(sol_seq.u), rtol=0, atol=1e-4
+    )
+    assert np.all(np.isfinite(np.asarray(sol_par.u_std)))
+
+
+def test_parallel_forward_filter_rejects_smoother():
+    vf_p, init, grid, _ = _fixed_grid_setup("none")
+    prior = ivpsolvers.prior_ibm(num_derivatives=3, ode_shape=(3,))
+    strat = ivpsolvers.strategy_smoother(prior, ivpsolvers.correction_ts0())
+    solver = ivpsolvers.solver(strat)
+    with pytest.raises(NotImplementedError, match="filter"):
+        ivpsolve.solve_fixed_grid(
+            vf_p, init, grid=grid, solver=solver, parallel=True
+        )
