@@ -119,6 +119,10 @@ def build_losses(ts, tol, noise_std):
 
     def mse_one(p, y):
         u, _ = solve_rk((y[0],), p)
+        # partially-trained dynamics can be unstable over the full horizon;
+        # saturate divergent trajectories so the batch keeps a finite loss
+        # (and finite gradients from the non-divergent members)
+        u = jnp.nan_to_num(u, nan=1e3, posinf=1e3, neginf=-1e3)
         return jnp.mean((u - y) ** 2)
 
     def batched(one):
@@ -148,7 +152,14 @@ def train(mode, params0, ts, ys, *, lrs, steps, lengths, batch_size, tol,
             n_t = max(2, int(len(ts) * length))
             ys_phase = ys[:, :n_t]  # curriculum: truncated series first
             loss_fn = build_losses(ts[:n_t], tol, noise_std)[mode]
-            optimizer = optax.adabelief(lr)
+            # clip + skip non-finite updates: reverse-mode gradients through
+            # the adaptive RK loop can spike when a proposal leaves the
+            # data manifold (the reference trains with tiny batches for the
+            # same reason)
+            optimizer = optax.apply_if_finite(
+                optax.chain(optax.clip_by_global_norm(1.0), optax.adabelief(lr)),
+                max_consecutive_errors=20,
+            )
             opt_state = optimizer.init(params)
 
             @jax.jit
@@ -184,8 +195,11 @@ def fit_curve(params, ts, y0, max_solver_steps):
 
 
 def main(dataset_size=16, batch_size=4, resolution=48, seed=5678,
-         lrs=(1e-2, 3e-3), steps=(50, 50), lengths=(0.1, 1.0),
+         lrs=(3e-3,), steps=(100,), lengths=(1.0,),
          tol=1e-3, noise_std=1e-2, max_solver_steps=512):
+    # NB the reference's comment describes a 10%-first curriculum but its
+    # actual config trains on the full series (learn_ode.py:19,
+    # length_strategy=(1.0, 1)); ``lengths`` keeps the curriculum capability.
     key = jax.random.PRNGKey(seed)
     data_key, model_key = jax.random.split(key)
     ts = jnp.linspace(0.0, 10.0, num=resolution)
@@ -228,9 +242,12 @@ if __name__ == "__main__":
     ap.add_argument("--dataset-size", type=int, default=16)
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--resolution", type=int, default=48)
-    ap.add_argument("--steps", type=int, nargs=2, default=(30, 30))
+    ap.add_argument("--steps", type=int, nargs="+", default=None)
     ap.add_argument("--max-solver-steps", type=int, default=512)
     a = ap.parse_args()
+    kwargs = {}
+    if a.steps is not None:
+        kwargs["steps"] = tuple(a.steps)
     main(dataset_size=a.dataset_size, batch_size=a.batch_size,
-         resolution=a.resolution, steps=tuple(a.steps),
-         max_solver_steps=a.max_solver_steps)
+         resolution=a.resolution, max_solver_steps=a.max_solver_steps,
+         **kwargs)

@@ -250,3 +250,62 @@ def test_vmap_over_tolerances():
         )
     # tighter tolerance must cost more steps
     assert int(steps[2]) > int(steps[0])
+
+
+@pytest.mark.slow
+def test_vdp_mu1e3_at_rtol_1e8_matches_lsoda():
+    """BASELINE.json: match reference solutions at rtol 1e-8 on Van der Pol.
+
+    Full stiff problem (mu=1e3, t in [0, 6.3], TS1(4) dense filter, the
+    reference's exp-1 configuration at tol 1e-8 instead of 1e-3;
+    /root/reference/experiments/1_van_der_pol/vdp.py:61-79).  Oracle: scipy
+    LSODA at 1e-12.  Two error-unit modes:
+
+    * "qoi" (default): equidistributes solution error; ~2.6k steps, terminal
+      agreement ~1e-5 (consistent with #steps x local tol);
+    * "residual" (reference-stack behavior): ~3.3M steps, terminal agreement
+      ~1e-10 -- and O(1) memory via terminal-values, which is what makes a
+      3.3M-step stiff solve feasible at all.
+    """
+    import scipy.integrate
+
+    vf, (u0, du0), (t0, t1) = problems.van_der_pol(mu=10.0**3)
+    nu = 4
+
+    def vf_first_order(t, y):
+        return np.concatenate([y[1:], np.asarray(vf(y[:1], y[1:], t=t))])
+
+    ref = scipy.integrate.solve_ivp(
+        vf_first_order, (t0, t1),
+        np.concatenate([np.asarray(u0), np.asarray(du0)]),
+        rtol=1e-12, atol=1e-12, method="LSODA",
+    )
+    truth = ref.y[0, -1]
+
+    def solve(unit):
+        prior_ = ivpsolvers.prior_ibm(
+            num_derivatives=nu, ode_shape=(1,), implementation="dense"
+        )
+        strat = ivpsolvers.strategy_filter(
+            prior_, ivpsolvers.correction_ts1(ode_order=2, error_unit=unit)
+        )
+        solver = ivpsolvers.solver_dynamic(strat)
+        tco = taylor.odejet_padded_scan(
+            lambda *y: vf(*y, t=t0), (u0, du0), num=nu - 1
+        )
+        init = solver.initial_condition(tco, 1.0)
+        asolver = ivpsolve.adaptive(solver, atol=1e-8, rtol=1e-8)
+        sol = jax.jit(
+            lambda: ivpsolve.solve_adaptive_terminal_values(
+                vf, init, t0=t0, t1=t1, dt0=0.01, adaptive_solver=asolver
+            )
+        )()
+        return int(sol.num_steps), float(sol.u[0])
+
+    steps_qoi, u_qoi = solve("qoi")
+    assert abs(u_qoi - truth) < 5e-5, (u_qoi, truth)
+    assert 1500 < steps_qoi < 6000, steps_qoi
+
+    steps_res, u_res = solve("residual")
+    assert abs(u_res - truth) < 1e-8, (u_res, truth)
+    assert steps_res > 1_000_000, steps_res  # O(1) memory makes this viable
