@@ -144,9 +144,13 @@ def train(mode, params0, ts, ys, *, lrs, steps, lengths, batch_size, tol,
     with control_flow.overwrite_with_bounded(max_steps=max_solver_steps):
         # deterministic full-dataset loss (phase losses differ in scale with
         # the curriculum's series length, so minibatch curves are not
-        # comparable across phases)
+        # comparable across phases); training keeps the best full-data
+        # iterate -- MSE-through-RK training can fall into a divergence
+        # basin (all trajectories blow up -> saturated loss, zero gradients)
+        # and never recover
         eval_fn = build_losses(ts, tol, noise_std)[mode]
         eval_before = float(eval_fn(params, ys))
+        best = (eval_before, params)
 
         for phase, (lr, num_steps, length) in enumerate(zip(lrs, steps, lengths)):
             n_t = max(2, int(len(ts) * length))
@@ -175,10 +179,16 @@ def train(mode, params0, ts, ys, *, lrs, steps, lengths, batch_size, tol,
                 params, opt_state, val = step_fn(params, opt_state, ys_phase[idx])
                 losses.append(float(val))
                 if i % 10 == 0:
-                    print(f"[{mode}] phase {phase} step {i}: loss {val:.4f}",
-                          flush=True)
+                    ev = float(eval_fn(params, ys))
+                    if ev < best[0]:
+                        best = (ev, params)
+                    print(f"[{mode}] phase {phase} step {i}: loss {val:.4f} "
+                          f"(full-data {ev:.4f})", flush=True)
 
-        eval_after = float(eval_fn(params, ys))
+        ev = float(eval_fn(params, ys))
+        if ev < best[0]:
+            best = (ev, params)
+    eval_after, params = best
     print(f"[{mode}] full-dataset loss: {eval_before:.4f} -> {eval_after:.4f}",
           flush=True)
     return params, losses, (eval_before, eval_after)

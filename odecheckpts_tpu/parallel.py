@@ -87,6 +87,34 @@ def shard_batched_solve(solve_batch, mesh: Mesh, axis: str = "batch"):
     return jax.jit(sharded)
 
 
+def shard_fused_solve(vf, params, *, save_at, dt0, mesh: Mesh, axis: str = "batch", **solve_kwargs):
+    """The FUSED batched engine (batched.solve_save_at_batched) laid out over
+    a 1-D device mesh: each shard runs the lanes-last fused step kernel on its
+    local sub-batch; no collectives until XLA gathers the outputs.
+
+    ``solve_kwargs`` forward to the fused solver (engine, tols dtype rules,
+    ode_order, lanes, ...).  The HBM admission guard applies per shard.
+    Returns ``sharded(u0s, tols) -> (u_smoothed, u_filtered, num_steps)``.
+    """
+    from . import batched
+
+    def local(u, t):
+        return batched.solve_save_at_batched(
+            vf, u, params, save_at=save_at, dt0=dt0, tols=t, **solve_kwargs
+        )
+
+    def sharded(u0s, tols):
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )(u0s, tols)
+
+    return jax.jit(sharded)
+
+
 def replicate(tree, mesh: Mesh):
     """Place a pytree replicated over every device of the mesh."""
     sharding = NamedSharding(mesh, P())

@@ -44,8 +44,54 @@ import jax
 import jax.numpy as jnp
 
 from . import ivpsolvers as _solvers
-from . import prior
+from . import linalg, prior
 from .ssm.base import MarkovSeq, Normal
+
+
+def _solve_qr(t, b):
+    """Solve ``t x = b`` via Householder QR + unrolled back-substitution.
+
+    TPU lowers ``jnp.linalg.solve`` through LuDecomposition, which is
+    f32-only on that backend; this path uses only jnp primitives (the
+    dimensions here are small and static, so the unrolled loops are cheap).
+    """
+    m = t.shape[-1]
+    aug = jnp.concatenate([t, b], axis=-1)
+    r = linalg.qr_r(aug)  # rows sign-normalized consistently: R x = Q^T b
+    rr, qb = r[..., :m], r[..., m:]
+    rows = [None] * m
+    for i in reversed(range(m)):
+        acc = qb[i]
+        for j in range(i + 1, m):
+            acc = acc - rr[i, j] * rows[j]
+        rows[i] = acc / rr[i, i]
+    return jnp.stack(rows, axis=0)
+
+
+def _cholesky_small(c):
+    """Unrolled lower Cholesky for small PSD matrices, batched over leading
+    axes (TPU's CholeskyDecomposition custom call is f32-only; the caller
+    adds a jitter, so pivots stay positive)."""
+    m = c.shape[-1]
+    cols = []
+    l_rows = [[None] * m for _ in range(m)]
+    for j in range(m):
+        s = c[..., j, j]
+        for k in range(j):
+            s = s - l_rows[j][k] * l_rows[j][k]
+        d = jnp.sqrt(jnp.maximum(s, jnp.zeros_like(s)))
+        d_safe = jnp.where(d > 0, d, jnp.ones_like(d))
+        col = [jnp.zeros_like(d)] * j + [d]
+        l_rows[j][j] = d
+        for i in range(j + 1, m):
+            s_ij = c[..., i, j]
+            for k in range(j):
+                s_ij = s_ij - l_rows[i][k] * l_rows[j][k]
+            lij = jnp.where(d > 0, s_ij / d_safe, jnp.zeros_like(s_ij))
+            l_rows[i][j] = lij
+            col.append(lij)
+        cols.append(jnp.stack(col, axis=-1))
+    return jnp.stack(cols, axis=-1)
 
 
 def _combine(e_i, e_j):
@@ -55,11 +101,11 @@ def _combine(e_i, e_j):
     m = a_i.shape[-1]
     eye = jnp.eye(m, dtype=a_i.dtype)
     t = eye + c_i @ j_j  # (I + C_i J_j); (I + J_j C_i) = t^T for symmetric C, J
-    a = a_j @ jnp.linalg.solve(t, a_i)
-    b = a_j @ jnp.linalg.solve(t, b_i + c_i @ eta_j) + b_j
-    c = a_j @ jnp.linalg.solve(t, c_i) @ a_j.T + c_j
-    eta = a_i.T @ jnp.linalg.solve(t.T, eta_j - j_j @ b_i) + eta_i
-    j = a_i.T @ jnp.linalg.solve(t.T, j_j @ a_i) + j_i
+    a = a_j @ _solve_qr(t, a_i)
+    b = a_j @ _solve_qr(t, b_i + c_i @ eta_j) + b_j
+    c = a_j @ _solve_qr(t, c_i) @ a_j.T + c_j
+    eta = a_i.T @ _solve_qr(t.T, eta_j - j_j @ b_i) + eta_i
+    j = a_i.T @ _solve_qr(t.T, j_j @ a_i) + j_i
     return (a, b, 0.5 * (c + c.T), eta, 0.5 * (j + j.T))
 
 
@@ -67,13 +113,13 @@ def _element(phi, q, h, v):
     """Filtering element of one step: transition x_k = Phi x_{k-1} + w,
     w ~ N(0, Q), conditioned on the exact observation H x_k = v."""
     s = h @ q @ h.T  # innovation covariance (r, r)
-    k_gain = jnp.linalg.solve(s, h @ q).T  # (m, r)
+    k_gain = _solve_qr(s, h @ q).T  # (m, r)
     i_kh = jnp.eye(phi.shape[-1], dtype=phi.dtype) - k_gain @ h
     a = i_kh @ phi
     b = k_gain @ v
     c = i_kh @ q @ i_kh.T  # exact observation: (I-KH) Q (I-KH)^T
-    eta = phi.T @ h.T @ jnp.linalg.solve(s, v)
-    j = phi.T @ h.T @ jnp.linalg.solve(s, h @ phi)
+    eta = phi.T @ h.T @ _solve_qr(s, v)
+    j = phi.T @ h.T @ _solve_qr(s, h @ phi)
     return (a, b, 0.5 * (c + c.T), eta, 0.5 * (j + j.T))
 
 
@@ -211,7 +257,8 @@ def solve_fixed_grid_parallel(
         """p(x_k | z_{1:k}) for a window-start state N(m0, P0): pull the
         prefix's information pair back to x_0, then push through (A, b, C)."""
         a, b, c, eta, j = prefix
-        gain = p0 @ jnp.linalg.solve(eye_m + j @ p0, eye_m)  # P0 (I + J P0)^{-1}
+        # gain = P0 (I + J P0)^{-1}, via the transposed system (f64-safe QR)
+        gain = _solve_qr((eye_m + j @ p0).T, p0.T).T
         m0_upd = m0c + gain @ (eta - j @ m0c)
         p0_upd = p0 - gain @ j @ p0
         mean = a @ m0_upd + b
@@ -261,7 +308,7 @@ def solve_fixed_grid_parallel(
 
     eps = jnp.finfo(dtype).eps
     jitter = eps * jnp.maximum(jnp.trace(covs, axis1=-2, axis2=-1), 1.0)
-    chol_cols = jnp.linalg.cholesky(
+    chol_cols = _cholesky_small(
         covs + jitter[:, None, None] * jnp.eye(m_dim, dtype=dtype)
     )
     rvs_rest = Normal(means, chol_cols)
