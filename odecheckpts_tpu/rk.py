@@ -40,6 +40,9 @@ class Tableau:
     b_err: tuple  # (b - b_hat): error weights
     c: tuple
     fsal: bool
+    # second error-weight set for DOP853's blended 5th/3rd-order estimate
+    # (errn = A^2 / sqrt(A^2 + 0.01 B^2), scipy _ivp/rk.py DOP853)
+    b_err2: tuple | None = None
 
 
 def _bosh3():
@@ -143,12 +146,13 @@ def _dopri8():
         tuple(float(x) for x in b_np),
     )
     b = tuple(float(x) for x in b_np) + (0.0,)
-    # DOP853 uses a blended 5th/3rd-order error estimate; the 5th-order
-    # difference alone is a valid (conservative) embedded error weight set.
+    # DOP853's blended 5th/3rd-order error estimate (both weight sets); the
+    # blend lets the controller take the full 8th-order step sizes instead
+    # of the conservative 5th-order-difference-only ones.
     b_err = tuple(float(x) for x in e5)
-    del e3
+    b_err2 = tuple(float(x) for x in e3)
     c = tuple(float(x) for x in c_np)
-    return Tableau("dopri8", 8, a, b, b_err, c, True)
+    return Tableau("dopri8", 8, a, b, b_err, c, True, b_err2=b_err2)
 
 
 _TABLEAUS = {
@@ -184,6 +188,7 @@ def _solve_rk_save_at_impl(
     a_rows = [jnp.asarray(row, dtype) for row in tab.a]
     b = jnp.asarray(tab.b, dtype)
     b_err = jnp.asarray(tab.b_err, dtype)
+    b_err2 = None if tab.b_err2 is None else jnp.asarray(tab.b_err2, dtype)
     c = jnp.asarray(tab.c, dtype)
     order = tab.order
 
@@ -204,6 +209,13 @@ def _solve_rk_save_at_impl(
         err = dt * jnp.tensordot(b_err, ks_arr, axes=1)
         tol = atol + rtol * jnp.maximum(jnp.abs(s.y), jnp.abs(y_new))
         errn = jnp.sqrt(jnp.mean((err / tol) ** 2))
+        if b_err2 is not None:
+            # DOP853 blend: A^2 / hypot(A, 0.1 B) with A/B the dt-scaled
+            # rms norms of the 5th/3rd-order differences (scipy semantics)
+            err3 = dt * jnp.tensordot(b_err2, ks_arr, axes=1)
+            errn3 = jnp.sqrt(jnp.mean((err3 / tol) ** 2))
+            denom = jnp.sqrt(errn**2 + 0.01 * errn3**2)
+            errn = jnp.where(denom > 0.0, errn * (errn / denom), errn)
         errn = jnp.where(jnp.isfinite(errn), errn, jnp.inf)
 
         n1 = p_i / (order + 1.0)

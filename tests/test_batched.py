@@ -126,3 +126,31 @@ def test_pallas_interpret_matches_xla_engine():
     )
     np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), rtol=2e-4, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_x))
+
+
+def test_bucketed_solve_matches_unbucketed_and_cuts_padded_iterations():
+    """Mixed-tolerance bucketing (round-1 ROADMAP 2): identical per-lane
+    results, strictly fewer padded while-iterations than one big batch."""
+    vf, (u0,), tspan, params = problems.rigid_body(time_span=(0.0, 20.0))
+    save_at = jnp.linspace(0.0, 20.0, num=4)
+    batch = 16
+    key = jax.random.PRNGKey(2)
+    u0s = u0[None] * (1.0 + 0.02 * jax.random.normal(key, (batch, 3)))
+    # four step-count classes, interleaved (worst case for unbucketed padding)
+    tols = jnp.tile(jnp.asarray([1e-2, 1e-4, 1e-6, 1e-8]), batch // 4)
+
+    kw = dict(save_at=save_at, dt0=0.1, engine="xla")
+    u_ref, _uf, steps_ref = batched.solve_save_at_batched(
+        vf, u0s, params, tols=tols, **kw
+    )
+    (u_b, _uf_b, steps_b), bucket_max = batched.solve_save_at_bucketed(
+        vf, u0s, params, tols=tols, num_buckets=4, **kw
+    )
+    np.testing.assert_allclose(np.asarray(u_b), np.asarray(u_ref), rtol=1e-9)
+    np.testing.assert_array_equal(np.asarray(steps_b), np.asarray(steps_ref))
+
+    # padded-iteration proxy: sum_b |bucket| * max_steps(bucket) vs
+    # B * max_steps(all) -- the deterministic stand-in for wall time
+    per_bucket = sum((batch // 4) * m for m in bucket_max)
+    unbucketed = batch * int(jnp.max(steps_ref[:, -1]))
+    assert per_bucket < 0.6 * unbucketed, (bucket_max, unbucketed)
