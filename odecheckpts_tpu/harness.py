@@ -122,6 +122,53 @@ def workprec(fun, *, precision_fun: Callable, timeit_fun: Callable) -> Callable:
 
     return parameter_list_to_workprecision
 
+class debug_nans:
+    """Context: enable jax's NaN debugging (``jax_debug_nans``) in a scope.
+
+    The SURVEY §5 sanitizer analogue (the reference only asserts NaNs post
+    hoc, vdp.py:107-108).  Best used around a WHOLE program region from
+    process start: jax's check rides on the jit dispatch path and prior
+    dispatch activity in the process can leave fastpaths that skip it (also
+    the reason this context clears the compilation caches on entry).  For a
+    deterministic per-call guard use :func:`nan_guard`.
+    """
+
+    def __init__(self, enable: bool = True):
+        self.enable = enable
+
+    def __enter__(self):
+        self.prev = jax.config.jax_debug_nans
+        jax.config.update("jax_debug_nans", self.enable)
+        # dispatch fastpaths compiled while the flag was off skip the check
+        jax.clear_caches()
+        return self
+
+    def __exit__(self, *exc):
+        jax.config.update("jax_debug_nans", self.prev)
+        return False
+
+
+def nan_guard(fn, name: str = "function"):
+    """Wrap ``fn``: raise FloatingPointError if any output leaf contains a
+    non-finite value.  Deterministic (checks materialized outputs; works with
+    any dispatch path, unlike the global ``jax_debug_nans`` flag)."""
+
+    def guarded(*args, **kwargs):
+        out = fn(*args, **kwargs)
+        leaves = jax.tree.leaves(out)
+        for i, leaf in enumerate(leaves):
+            arr = jnp.asarray(leaf)
+            if jnp.issubdtype(arr.dtype, jnp.floating) and not bool(
+                jnp.all(jnp.isfinite(arr))
+            ):
+                raise FloatingPointError(
+                    f"non-finite values in output leaf {i} of {name}"
+                )
+        return out
+
+    return guarded
+
+
 def profiler_trace(log_dir: str):
     """Context manager: capture a jax.profiler trace around a benchmark region.
 

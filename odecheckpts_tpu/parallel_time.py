@@ -137,8 +137,10 @@ def _adapters(ssm):
     nu = ssm.num_derivatives
     d, n = ssm.d, ssm.n
 
-    if ssm.name in ("isotropic", "blockdiag"):
+    if ssm.name == "isotropic":
         # state matrix acts on the derivative axis; d columns ride along
+        # (blockdiag carries per-dimension covariance factors -- not yet
+        # mapped onto the shared-(n,n) element layout here)
         def materialize(dt, scale, jacs, o):
             del jacs
             phi = prior.phi_direct(dt, nu)

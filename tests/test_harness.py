@@ -84,3 +84,23 @@ def test_integral_controller_solves():
         return 1.0 / (1.0 + c * np.exp(-np.asarray(ts)))
 
     np.testing.assert_allclose(np.asarray(sol.u)[:, 0], exact(save_at), rtol=1e-4)
+
+
+def test_nan_guard_and_debug_nans_context():
+    import pytest
+
+    @jax.jit
+    def bad(x):
+        return jnp.log(x)  # NaN for negative input
+
+    guarded = harness.nan_guard(bad, name="bad")
+    assert float(guarded(jnp.asarray(2.0))) > 0.0
+    with pytest.raises(FloatingPointError, match="bad"):
+        guarded(jnp.asarray(-1.0))
+
+    # the debug_nans context toggles and restores the global flag (raising
+    # behavior depends on process-level dispatch state; see its docstring)
+    assert not jax.config.jax_debug_nans
+    with harness.debug_nans():
+        assert jax.config.jax_debug_nans
+    assert not jax.config.jax_debug_nans

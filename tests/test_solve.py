@@ -309,3 +309,65 @@ def test_vdp_mu1e3_at_rtol_1e8_matches_lsoda():
     steps_res, u_res = solve("residual")
     assert abs(u_res - truth) < 1e-8, (u_res, truth)
     assert steps_res > 1_000_000, steps_res  # O(1) memory makes this viable
+
+
+def test_mle_calibration_equals_rms_of_step_sigmas():
+    """Differential semantics check of calibrate="mle" (old-API
+    ``calibrated.mle``, reference playground/smoothing.py:74): the running-MLE
+    output scale equals the RMS of the per-step sigma-hats, and the posterior
+    equals the uncalibrated posterior with every covariance factor rescaled
+    by it.  The sigma-hats are recomputed INDEPENDENTLY from the uncalibrated
+    run's stored states (predict -> linearize -> error_and_scale per stored
+    interval); the only unshared step is the terminal overshoot the driver
+    interpolates away, hence the 0.5% factor tolerance.
+    """
+    vf, u0s, tspan, params = problems.rigid_body()
+    vf_p = lambda u, *, t: vf(u, t=t, p=params)  # noqa: E731
+    nu = 3
+    prior_ = ivpsolvers.prior_ibm(num_derivatives=nu, ode_shape=(3,))
+    strat = ivpsolvers.strategy_smoother(prior_, ivpsolvers.correction_ts0())
+
+    def run(make_solver):
+        solver = make_solver(strat)
+        tco = taylor.odejet_padded_scan(lambda u: vf_p(u, t=tspan[0]), u0s, num=nu)
+        init = solver.initial_condition(tco, 1.0)
+        asolver = ivpsolve.adaptive(solver, atol=1e-6, rtol=1e-6)
+        return solver, ivpsolve.solve_adaptive_save_every_step(
+            vf_p, init, t0=tspan[0], t1=tspan[1], dt0=0.1, adaptive_solver=asolver
+        )
+
+    solver_none, sol_none = run(ivpsolvers.solver)
+    _, sol_mle = run(ivpsolvers.solver_mle)
+
+    # identical step selection and means (calibration rescales widths only)
+    np.testing.assert_allclose(np.asarray(sol_mle.t), np.asarray(sol_none.t))
+    np.testing.assert_allclose(
+        np.asarray(sol_mle.u), np.asarray(sol_none.u), rtol=1e-12
+    )
+
+    # independent sigma-hat recomputation along the stored trajectory
+    ssm = solver_none.ssm
+    means = sol_none.posterior.init.mean
+
+    def sigma_one(m_prev, dt, t_new):
+        m_pred, cache = ssm.extrapolate_mean(m_prev, dt)
+        z, jacs = ivpsolvers.linearize(strat, vf_p, m_pred, t_new)
+        sigma, _err = ivpsolvers.error_and_scale(strat, z, jacs, cache)
+        return sigma
+
+    sigmas = np.asarray(
+        jax.vmap(sigma_one)(means[:-1], jnp.diff(sol_none.t), sol_none.t[1:])
+    )
+    rms = float(np.sqrt(np.mean(sigmas**2)))
+    factor = float(np.asarray(sol_mle.output_scale)[0])
+    np.testing.assert_allclose(factor, rms, rtol=5e-3)
+
+    # posterior widths: mle = none * factor, element-for-element
+    np.testing.assert_allclose(
+        np.asarray(sol_mle.u_std), np.asarray(sol_none.u_std) * factor, rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_mle.posterior.init.cholesky),
+        np.asarray(sol_none.posterior.init.cholesky) * factor,
+        rtol=1e-9, atol=1e-300,
+    )
