@@ -65,6 +65,11 @@ def control_integral(**kwargs) -> Control:
 
 
 def _control_factor(ctrl: Control, errn, errn_prev, error_order: int):
+    # step-size control is a discrete decision: reverse-mode through
+    # errn**-n1 near a ~zero error norm is +-inf (cf. the same guard in the
+    # RK driver); the controller output is treated as non-differentiable
+    errn = jax.lax.stop_gradient(errn)
+    errn_prev = jax.lax.stop_gradient(errn_prev)
     n1 = ctrl.power_integral / error_order
     n2 = ctrl.power_proportional / error_order
     factor = ctrl.safety * errn**-n1 * (errn_prev / errn) ** n2

@@ -195,6 +195,16 @@ def solve_fixed_grid_parallel(
     the windowed iterated-linearization scheme; ``window`` steps run as one
     associative scan, ``iterations`` sweeps per window re-linearize.
     """
+    # TPU matmul passes at default precision corrupt the element combines
+    # (observed: NaN on-chip, bit-clean on CPU); force exact accumulation
+    with jax.default_matmul_precision("highest"):
+        return _solve_fixed_grid_parallel(
+            vf, init, grid=grid, solver=solver, iterations=iterations,
+            window=window,
+        )
+
+
+def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window):
     from .ivpsolve import Solution, _validate_increasing
 
     ssm = solver.ssm

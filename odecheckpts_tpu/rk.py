@@ -208,11 +208,15 @@ def _solve_rk_save_at_impl(
         y_new = s.y + dt * jnp.tensordot(b, ks_arr, axes=1)
         err = dt * jnp.tensordot(b_err, ks_arr, axes=1)
         tol = atol + rtol * jnp.maximum(jnp.abs(s.y), jnp.abs(y_new))
-        errn = jnp.sqrt(jnp.mean((err / tol) ** 2))
+        # stop_gradient: step-size control is a discrete decision; reverse-
+        # mode through sqrt/pow of a ~zero error norm is +-inf (observed:
+        # every MSE training update non-finite at small init weights)
+        err = jax.lax.stop_gradient(err)
+        errn = jnp.sqrt(jnp.mean((err / tol) ** 2) + jnp.finfo(dtype).tiny)
         if b_err2 is not None:
             # DOP853 blend: A^2 / hypot(A, 0.1 B) with A/B the dt-scaled
             # rms norms of the 5th/3rd-order differences (scipy semantics)
-            err3 = dt * jnp.tensordot(b_err2, ks_arr, axes=1)
+            err3 = jax.lax.stop_gradient(dt * jnp.tensordot(b_err2, ks_arr, axes=1))
             errn3 = jnp.sqrt(jnp.mean((err3 / tol) ** 2))
             denom = jnp.sqrt(errn**2 + 0.01 * errn3**2)
             errn = jnp.where(denom > 0.0, errn * (errn / denom), errn)
@@ -224,7 +228,7 @@ def _solve_rk_save_at_impl(
             s.errn_prev / jnp.maximum(errn, 1e-10)
         ) ** n2
         factor = jnp.where(jnp.isfinite(factor), factor, fmin)
-        dt_next = s.dt * jnp.clip(factor, fmin, fmax)
+        dt_next = jax.lax.stop_gradient(s.dt * jnp.clip(factor, fmin, fmax))
 
         eps = jnp.finfo(dtype).eps
         stall = dt <= 4.0 * eps * jnp.maximum(jnp.abs(s.t), 1.0)
