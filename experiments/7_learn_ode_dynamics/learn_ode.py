@@ -13,8 +13,11 @@ Capability parity with
   probabilistic solver (fixedpoint save_at, bounded while loop, reference
   :191-219,240-241) and MSE through the native RK solver (reference's
   diffrax mode, :179-190);
-* the two-phase curriculum: first train on the first 10% of each series,
-  then on the full series (reference :39-43,71-75).
+* a growing-horizon curriculum (generalizing the reference's 10%-first
+  idea, :39-43,71-75): reverse-mode gradients through the adaptive RK are
+  non-finite when partially-trained dynamics diverge over long horizons,
+  so the training horizon grows across phases and the best full-data
+  iterate is kept.
 
 Saves data_losses.npy / data_plots.npy in the schema the reference's
 old/7_node/plot_node.py reads (ins/outs/ts/truth/before/rk/pn).
@@ -207,7 +210,8 @@ def fit_curve(params, ts, y0, max_solver_steps):
 def main(dataset_size=16, batch_size=4, resolution=48, seed=5678,
          lrs=(3e-3, 1e-3, 1e-3, 1e-3), steps=(50, 30, 30, 30),
          lengths=(0.2, 0.4, 0.7, 1.0),
-         tol=1e-3, noise_std=1e-2, max_solver_steps=512):
+         tol=1e-3, noise_std=1e-2, max_solver_steps=512,
+         require_improvement=True):
     # Horizon curriculum (the reference's comment describes 10%-first
     # training, learn_ode.py:39-43): reverse-mode gradients through the
     # adaptive RK solve are non-finite when partially-trained dynamics
@@ -226,7 +230,8 @@ def main(dataset_size=16, batch_size=4, resolution=48, seed=5678,
             batch_size=batch_size, tol=tol, noise_std=noise_std,
             max_solver_steps=max_solver_steps, seed=seed,
         )
-        assert ev1 < ev0, (mode, ev0, ev1)
+        if require_improvement:
+            assert ev1 < ev0, (mode, ev0, ev1)
 
     y0 = ys[0, 0]
     plots = {
@@ -247,7 +252,8 @@ def main(dataset_size=16, batch_size=4, resolution=48, seed=5678,
     err_pn = float(np.mean((plots["pn"] - plots["truth"]) ** 2))
     err_rk = float(np.mean((plots["rk"] - plots["truth"]) ** 2))
     print(f"fit MSE: before {err_before:.4f}, prob {err_pn:.4f}, rk {err_rk:.4f}")
-    assert err_pn < err_before and err_rk < err_before
+    if require_improvement:
+        assert err_pn < err_before and err_rk < err_before
 
 
 if __name__ == "__main__":
