@@ -49,9 +49,10 @@ def main(batch=4096, num_buckets=8):
         jax.block_until_ready(out)
         return time.perf_counter() - t0
 
-    t_unbucketed = timed(
-        lambda: batched.solve_save_at_batched(vf, u0s, params, tols=tols, **kw)[0]
+    solve_unbucketed = jax.jit(
+        lambda u, t: batched.solve_save_at_batched(vf, u, params, tols=t, **kw)
     )
+    t_unbucketed = timed(lambda: solve_unbucketed(u0s, tols)[0])
     (u_b, _uf, _n), bucket_max = batched.solve_save_at_bucketed(
         vf, u0s, params, tols=tols, num_buckets=num_buckets, **kw
     )

@@ -726,14 +726,15 @@ def solve_save_at_bucketed(
             return tuple(u[idx] for u in u0s)
         return u0s[idx]
 
+    # one jitted program shared by every bucket (equal shapes)
+    run = jax.jit(
+        lambda u, t: solve_save_at_batched(
+            vf, u, params, save_at=save_at, dt0=dt0, tols=t, **solve_kwargs
+        )
+    )
     outs = []
     for idx in chunks:
-        outs.append(
-            solve_save_at_batched(
-                vf, take(idx), params, save_at=save_at, dt0=dt0,
-                tols=jnp.asarray(tols_np[idx]), **solve_kwargs,
-            )
-        )
+        outs.append(run(take(idx), jnp.asarray(tols_np[idx])))
     inv = np.empty(b, dtype=np.int64)
     inv[np.concatenate(chunks)] = np.arange(b)
     u_s = jnp.concatenate([o[0] for o in outs])[inv]

@@ -140,9 +140,9 @@ def test_bucketed_solve_matches_unbucketed_and_cuts_padded_iterations():
     tols = jnp.tile(jnp.asarray([1e-2, 1e-4, 1e-6, 1e-8]), batch // 4)
 
     kw = dict(save_at=save_at, dt0=0.1, engine="xla")
-    u_ref, _uf, steps_ref = batched.solve_save_at_batched(
-        vf, u0s, params, tols=tols, **kw
-    )
+    u_ref, _uf, steps_ref = jax.jit(
+        lambda u, t: batched.solve_save_at_batched(vf, u, params, tols=t, **kw)
+    )(u0s, tols)
     (u_b, _uf_b, steps_b), bucket_max = batched.solve_save_at_bucketed(
         vf, u0s, params, tols=tols, num_buckets=4, **kw
     )
