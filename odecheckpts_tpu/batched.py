@@ -692,53 +692,62 @@ def solve_save_at_batched(
     return u_smooth[:b], u_filt[:b], nsteps[:b]
 
 
-def solve_save_at_bucketed(
-    vf, u0s, params, *, save_at, dt0, tols, num_buckets=4, **solve_kwargs
-):
-    """Mixed-tolerance ensembles via step-count bucketing (host-side driver).
+def make_bucketed_solver(vf, params, *, save_at, dt0, num_buckets=4, **solve_kwargs):
+    """Mixed-tolerance step-count bucketing (host-side driver builder).
 
     The batched while loop pads every lane to the slowest lane in its batch,
     so a mixed rtol 1e-1..1e-9 ensemble costs B x steps(1e-9) iterations.
     Sorting lanes by tolerance (the dominant step-count predictor: steps ~
     rtol^(-1/(nu+1))) and solving ``num_buckets`` equal-size buckets
-    separately cuts that to sum_b |bucket| x steps(tightest in bucket); the
-    equal bucket shape means all buckets share ONE compiled program.
+    separately cuts that to sum_b |bucket| x steps(tightest in bucket); all
+    buckets share ONE jitted program (equal shapes), held by the returned
+    closure so repeated calls neither re-trace nor re-compile.
 
-    ``tols`` must be concrete (host values) -- this is a benchmark-harness
-    driver, not a jittable kernel.  Per-lane results are identical to the
-    unbucketed solve (lanes are mask-isolated).  Returns the unbucketed
-    function's outputs plus the list of per-bucket mean accepted steps.
+    Returns ``solve(u0s, tols) -> ((u_s, u_f, nsteps), bucket_max_steps)``;
+    ``tols`` must be concrete (host values).  Per-lane results equal the
+    (jitted) unbucketed solve: lanes are mask-isolated.
     """
     import numpy as np
 
-    tols_np = np.asarray(tols)
-    b = tols_np.shape[0]
-    num_buckets = max(1, min(num_buckets, b))
-    if b % num_buckets:
-        raise ValueError(f"batch {b} not divisible into {num_buckets} buckets")
-    order = np.argsort(tols_np, kind="stable")[::-1]  # loosest (fewest steps) first
-    chunks = order.reshape(num_buckets, b // num_buckets)
-
-    is_tuple = isinstance(u0s, tuple)
-
-    def take(idx):
-        if is_tuple:
-            return tuple(u[idx] for u in u0s)
-        return u0s[idx]
-
-    # one jitted program shared by every bucket (equal shapes)
     run = jax.jit(
         lambda u, t: solve_save_at_batched(
             vf, u, params, save_at=save_at, dt0=dt0, tols=t, **solve_kwargs
         )
     )
-    outs = []
-    for idx in chunks:
-        outs.append(run(take(idx), jnp.asarray(tols_np[idx])))
-    inv = np.empty(b, dtype=np.int64)
-    inv[np.concatenate(chunks)] = np.arange(b)
-    u_s = jnp.concatenate([o[0] for o in outs])[inv]
-    u_f = jnp.concatenate([o[1] for o in outs])[inv]
-    nsteps = jnp.concatenate([o[2] for o in outs])[inv]
-    bucket_max_steps = [int(jnp.max(o[2][:, -1])) for o in outs]
-    return (u_s, u_f, nsteps), bucket_max_steps
+
+    def solve(u0s, tols):
+        tols_np = np.asarray(tols)
+        b = tols_np.shape[0]
+        nb = max(1, min(num_buckets, b))
+        if b % nb:
+            raise ValueError(f"batch {b} not divisible into {nb} buckets")
+        order = np.argsort(tols_np, kind="stable")[::-1]  # loosest first
+        chunks = order.reshape(nb, b // nb)
+        is_tuple = isinstance(u0s, tuple)
+
+        def take(idx):
+            if is_tuple:
+                return tuple(u[idx] for u in u0s)
+            return u0s[idx]
+
+        outs = [run(take(idx), jnp.asarray(tols_np[idx])) for idx in chunks]
+        inv = np.empty(b, dtype=np.int64)
+        inv[np.concatenate(chunks)] = np.arange(b)
+        u_s = jnp.concatenate([o[0] for o in outs])[inv]
+        u_f = jnp.concatenate([o[1] for o in outs])[inv]
+        nsteps = jnp.concatenate([o[2] for o in outs])[inv]
+        bucket_max_steps = [int(jnp.max(o[2][:, -1])) for o in outs]
+        return (u_s, u_f, nsteps), bucket_max_steps
+
+    return solve
+
+
+def solve_save_at_bucketed(
+    vf, u0s, params, *, save_at, dt0, tols, num_buckets=4, **solve_kwargs
+):
+    """One-shot convenience wrapper around :func:`make_bucketed_solver`."""
+    solve = make_bucketed_solver(
+        vf, params, save_at=save_at, dt0=dt0, num_buckets=num_buckets,
+        **solve_kwargs,
+    )
+    return solve(u0s, tols)
