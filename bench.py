@@ -198,7 +198,10 @@ def main():
     batch32 = int(os.environ.get("ODECKPT_BENCH_BATCH32", 32768))
     batch64 = int(os.environ.get("ODECKPT_BENCH_BATCH64", 8192))
     sample = int(os.environ.get("ODECKPT_BENCH_SAMPLE", 8))
-    trace_dir = os.path.join(here, "experiments", "6_tpu_batched_sweep", "trace")
+    # one representative trace artifact is committed under
+    # experiments/6_tpu_batched_sweep/trace/; fresh captures go to /tmp
+    # unless explicitly redirected (keeps driver-run commits lean)
+    trace_dir = os.environ.get("ODECKPT_BENCH_TRACE_DIR", "/tmp/odeckpt_trace")
 
     rows = []
     # f32, loose-to-mid tolerances: fused Pallas kernel (fallback: same
