@@ -29,7 +29,8 @@ import jax
 
 if os.environ.get("ODECKPT_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["ODECKPT_PLATFORM"])
-jax.config.update("jax_enable_x64", True)
+# NB stays f32: enabling x64 promotes weak literals inside the Pallas kernel
+# to f64 and Mosaic's layout inference aborts on 64-bit vectors
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
