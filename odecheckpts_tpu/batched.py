@@ -325,21 +325,22 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
     return step
 
 
-def _pallas_step(step_fn, interpret=False, lanes=LANES):
+def _pallas_step(step_fn, interpret=False, lanes=LANES, num_state=NUM_STATE):
     """Wrap a lanes-last step as ONE Pallas kernel over ``lanes``-wide tiles.
 
     Wider tiles amortize Mosaic's per-instruction overhead across more lanes
     (the step is hundreds of tiny vector ops; at 128 lanes each op touches
-    only 1-2 vregs).
+    only 1-2 vregs).  ``num_state`` parameterizes the state-tuple length so
+    alternative layouts (batched_hi's df32 pairs) reuse the wrapper.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(*refs):
-        n_in = NUM_STATE + 6
+        n_in = num_state + 6
         ins = [r[...] for r in refs[:n_in]]
-        state = tuple(ins[:NUM_STATE])
-        t_next, atol, rtol, dt_max, dt_floor, tiny_scale = ins[NUM_STATE:]
+        state = tuple(ins[:num_state])
+        t_next, atol, rtol, dt_max, dt_floor, tiny_scale = ins[num_state:]
         outs = step_fn(state, t_next, atol, rtol, dt_max, dt_floor, tiny_scale)
         for r, o in zip(refs[n_in:], outs):
             r[...] = o

@@ -43,6 +43,40 @@ def rigid_body(*, time_span=(0.0, 10.0)):
     return vf, (u0,), tuple(time_span), (-2.0, 1.25, -0.5)
 
 
+def rigid_body_df(params=(-2.0, 1.25, -0.5)):
+    """Rigid body in compensated (hi, lo) pair arithmetic, lanes-last.
+
+    The df32 vector field the tight-tolerance fused engine needs
+    (batched_hi.make_hi_solver ``vf_df``): an f32-only evaluation would put
+    ~2^-24 |f| noise on the TS0 residual, which the correction gain walks
+    into the solution mean (~sqrt(N_steps) * gain * noise > the rtol 1e-9
+    budget).  The parameters (-2, 1.25, -0.5) are dyadic, hence exact in f32.
+    """
+    from . import df32 as df
+
+    p1, p2, p3 = (float(p) for p in params)
+
+    def vf_df(args, t):
+        (uh, ul), = args  # (d, B) pair, d = 3
+
+        def row(i):
+            return (
+                jax.lax.slice_in_dim(uh, i, i + 1, axis=0),
+                jax.lax.slice_in_dim(ul, i, i + 1, axis=0),
+            )
+
+        y0, y1, y2 = row(0), row(1), row(2)
+        f0 = df.mul1(df.mul(y1, y2), p1)
+        f1 = df.mul1(df.mul(y0, y2), p2)
+        f2 = df.mul1(df.mul(y0, y1), p3)
+        return (
+            jnp.concatenate([f0[0], f1[0], f2[0]], axis=0),
+            jnp.concatenate([f0[1], f1[1], f2[1]], axis=0),
+        )
+
+    return vf_df
+
+
 def three_body_restricted():
     """Planar restricted three-body problem (Arenstorf orbit), 2nd-order form.
 
