@@ -561,7 +561,8 @@ def compact_bounded_solution(solution: Solution, valid) -> Solution:
 
 
 def solve_fixed_grid(
-    vf, init, *, grid, solver, parallel=False, iterations=8, window=16
+    vf, init, *, grid, solver, parallel=False, iterations=8, window=16,
+    form="cov",
 ):
     """Non-adaptive solve on a user grid (any strategy), one ``lax.scan``.
 
@@ -573,14 +574,15 @@ def solve_fixed_grid(
 
     ``parallel=True`` (filter strategy only): run the forward pass
     parallel-in-time -- windows of ``window`` steps as associative scans
-    with ``iterations`` linearization sweeps each; see
+    with ``iterations`` linearization sweeps each; ``form="sqrt"`` combines
+    square-root (QR) elements, the f32-viable variant; see
     ``parallel_time.solve_fixed_grid_parallel``."""
     if parallel:
         from . import parallel_time
 
         return parallel_time.solve_fixed_grid_parallel(
             vf, init, grid=grid, solver=solver, iterations=iterations,
-            window=window,
+            window=window, form=form,
         )
     ssm = solver.ssm
     strategy = solver.strategy

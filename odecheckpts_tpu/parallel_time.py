@@ -94,6 +94,38 @@ def _cholesky_small(c):
     return jnp.stack(cols, axis=-1)
 
 
+def _rsolve_upper(x, r):
+    """X = x r^{-1} for upper-triangular r: forward substitution over the
+    columns of r (all shapes small and static, so unrolled)."""
+    m = r.shape[-1]
+    cols = [None] * m
+    for j in range(m):
+        acc = x[..., :, j]
+        for k in range(j):
+            acc = acc - cols[k] * r[..., k, j]
+        cols[j] = acc / r[..., j, j]
+    return jnp.stack(cols, axis=-1)
+
+
+def _psolve(r, x):
+    """Solve (r^T r) y = x for upper-triangular r: forward then backward
+    substitution (r^T r is the Gram form the sqrt elements carry)."""
+    m = r.shape[-1]
+    rows = [None] * m
+    for i in range(m):  # r^T w = x
+        acc = x[..., i, :]
+        for k in range(i):
+            acc = acc - r[..., k, i] * rows[k]
+        rows[i] = acc / r[..., i, i]
+    out = [None] * m
+    for i in reversed(range(m)):  # r y = w
+        acc = rows[i]
+        for k in range(i + 1, m):
+            acc = acc - r[..., i, k] * out[k]
+        out[i] = acc / r[..., i, i]
+    return jnp.stack(out, axis=-2)
+
+
 def _combine(e_i, e_j):
     """Associative combination of filtering elements (earlier i, later j)."""
     a_i, b_i, c_i, eta_i, j_i = e_i
@@ -131,6 +163,79 @@ def _identity_element(m_dim, c_dim, dtype):
     return (eye, zmc, zmm, zmc, zmm)
 
 
+# ---------------------------------------------------------------------------
+# square-root (QR-element) form, after the orthogonal-transformation
+# refinement of arXiv:2502.11686: elements carry (A, b, U, eta, Z) with
+# C = U U^T and J = Z Z^T.  Every combine runs through small stacked QRs and
+# triangular substitutions, so the conditioning exposure is kappa(Z) =
+# sqrt(kappa(J)) -- which is what makes the pass float32-viable (the
+# covariance form squares Q(dt)^{-1} and needs f64).
+
+
+def _element_sqrt(phi, qc, h, v):
+    """Sqrt filtering element of one step (same semantics as _element)."""
+    m = phi.shape[-1]
+    r = h.shape[0]
+    g = h @ qc  # (r, m): S = g g^T
+    r_s = linalg.qr_r(g.T)  # (r, r) upper, S = r_s^T r_s
+    k_gain = qc @ _psolve(r_s, g).T  # Q H^T S^-1  (m, r)
+    i_kh = jnp.eye(m, dtype=phi.dtype) - k_gain @ h
+    a = i_kh @ phi
+    b = k_gain @ v
+    u = i_kh @ qc  # C = (I-KH) Q (I-KH)^T exactly (exact observation)
+    z_r = _rsolve_upper(phi.T @ h.T, r_s)  # (m, r): J = z_r z_r^T
+    z = jnp.concatenate([z_r, jnp.zeros((m, m - r), phi.dtype)], axis=-1)
+    eta = phi.T @ (h.T @ _psolve(r_s, v))
+    return (a, b, u, eta, z)
+
+
+def _combine_sqrt(e_i, e_j):
+    """Sqrt combination: Woodbury/push-through identities with the Gram
+    factors R1^T R1 = I + M M^T and R2^T R2 = I + M^T M, M = U_i^T Z_j."""
+    a_i, b_i, u_i, eta_i, z_i = e_i
+    a_j, b_j, u_j, eta_j, z_j = e_j
+    m = a_i.shape[-1]
+    eye = jnp.eye(m, dtype=a_i.dtype)
+    mm = u_i.T @ z_j
+    r1 = linalg.qr_r(jnp.concatenate([mm.T, eye], axis=0))
+    r2 = linalg.qr_r(jnp.concatenate([mm, eye], axis=0))
+
+    # (I + C_i J_j)^{-1} x = x - U_i (R1^T R1)^{-1} M Z_j^T x
+    zta = z_j.T @ a_i
+    a = a_j @ a_i - (a_j @ u_i) @ _psolve(r1, mm @ zta)
+    x = b_i + u_i @ (u_i.T @ eta_j)
+    b = a_j @ (x - u_i @ _psolve(r1, mm @ (z_j.T @ x))) + b_j
+    # (I + C_i J_j)^{-1} C_i = (U_i R1^{-1})(U_i R1^{-1})^T
+    v = _rsolve_upper(u_i, r1)
+    u = linalg.qr_r(jnp.concatenate([(a_j @ v).T, u_j.T], axis=0)).T
+
+    # dual side: (I + J_j C_i)^{-1} y = y - Z_j (R2^T R2)^{-1} M^T U_i^T y
+    y0 = eta_j - z_j @ (z_j.T @ b_i)
+    eta = a_i.T @ (y0 - z_j @ _psolve(r2, mm.T @ (u_i.T @ y0))) + eta_i
+    # (I + J_j C_i)^{-1} J_j = (Z_j R2^{-1})(Z_j R2^{-1})^T
+    y = _rsolve_upper(z_j, r2)
+    z = linalg.qr_r(jnp.concatenate([y.T @ a_i, z_i.T], axis=0)).T
+    return (a, b, u, eta, z)
+
+
+def _marginal_from_prefix_sqrt(prefix, m0c, w0):
+    """Sqrt analogue of marginal_from_prefix: window-start N(m0, W0 W0^T)
+    through the prefix element; returns (mean, lower cov factor)."""
+    a, b, u, eta, z = prefix
+    m0w = w0.T @ z  # (m, m)
+    m = a.shape[-1]
+    r0 = linalg.qr_r(
+        jnp.concatenate([m0w.T, jnp.eye(m, dtype=a.dtype)], axis=0)
+    )
+    # gain = (I + P0 J)^{-1} P0 = W0 (R0^T R0)^{-1} W0^T
+    innov = eta - z @ (z.T @ m0c)
+    m0_upd = m0c + w0 @ _psolve(r0, w0.T @ innov)
+    v0 = _rsolve_upper(w0, r0)  # P0_upd = v0 v0^T
+    mean = a @ m0_upd + b
+    chol = linalg.qr_r(jnp.concatenate([(a @ v0).T, u.T], axis=0)).T
+    return mean, chol
+
+
 def _adapters(ssm):
     """Backend adapter: materialize (Phi, Q, H, v) matrices per step and map
     between the ssm mean format and (m, c) column form."""
@@ -148,7 +253,7 @@ def _adapters(ssm):
             _, l_q = prior.system_matrices(nu, dt.dtype)
             qc = scale * (p[:, None] * l_q)
             h = jax.nn.one_hot(o, n, dtype=dt.dtype)[None, :]  # (1, n)
-            return phi, qc @ qc.T, h
+            return phi, qc, h
 
         def to_cols(mean):  # (n, d) -> (n, d)
             return mean
@@ -170,7 +275,7 @@ def _adapters(ssm):
             h = h.at[:, o * d : (o + 1) * d].set(eye_d.astype(dt.dtype))
             for k, jac in enumerate(jacs):
                 h = h.at[:, k * d : (k + 1) * d].add(-jac)
-            return phi, qc @ qc.T, h
+            return phi, qc, h
 
         def to_cols(mean):  # (nd,) -> (nd, 1)
             return mean[:, None]
@@ -185,7 +290,7 @@ def _adapters(ssm):
 
 
 def solve_fixed_grid_parallel(
-    vf, init, *, grid, solver, iterations=8, window=16
+    vf, init, *, grid, solver, iterations=8, window=16, form="cov"
 ):
     """Fixed-grid filter solve, parallel-in-time within windows.
 
@@ -194,17 +299,25 @@ def solve_fixed_grid_parallel(
     (posterior without backward conditionals).  See the module docstring for
     the windowed iterated-linearization scheme; ``window`` steps run as one
     associative scan, ``iterations`` sweeps per window re-linearize.
+
+    ``form``: "cov" combines elements in covariance/information form (wants
+    float64: J ~ Q(dt)^{-2} conditioning); "sqrt" combines QR factors
+    (arXiv:2502.11686-style), halving the conditioning exponent -- the
+    float32-viable variant.
     """
+    if form not in ("cov", "sqrt"):
+        raise ValueError(f"form must be 'cov' or 'sqrt', got {form!r}")
     # TPU matmul passes at default precision corrupt the element combines
     # (observed: NaN on-chip, bit-clean on CPU); force exact accumulation
     with jax.default_matmul_precision("highest"):
         return _solve_fixed_grid_parallel(
             vf, init, grid=grid, solver=solver, iterations=iterations,
-            window=window,
+            window=window, form=form,
         )
 
 
-def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window):
+def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
+                               form="cov"):
     from .ivpsolve import Solution, _validate_increasing
 
     ssm = solver.ssm
@@ -251,6 +364,13 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window):
         # residual in the element's (r, c) observation-value layout
         return z[:, None] if c_dim == 1 else z[None, :]
 
+    make_element = (
+        (lambda phi, qc, h, v: _element(phi, qc @ qc.T, h, v))
+        if form == "cov"
+        else _element_sqrt
+    )
+    combine = _combine if form == "cov" else _combine_sqrt
+
     def element_one(lin, t, dt, ok):
         _, cache = ssm.extrapolate_mean(lin, dt)  # only the cache (p, p_inv)
         z, jacs = _solvers.linearize(strategy, vf, lin, t)
@@ -259,9 +379,9 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window):
             scale = jnp.maximum(sigma, tiny)
         else:
             scale = scale_none
-        phi, q, h = materialize(dt, scale, jacs, o)
+        phi, qc, h = materialize(dt, scale, jacs, o)
         v = h @ to_cols(lin) - _z_cols(z)  # exact observation H x_k = v
-        el = _element(phi, q, h, v)
+        el = make_element(phi, qc, h, v)
         el = jax.tree.map(lambda x, i: jnp.where(ok, x, i), el, ident)
         return el, jnp.where(ok, scale, scale_none), sigma
 
@@ -277,17 +397,21 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window):
         cov = a @ p0_upd @ a.T + c
         return mean, 0.5 * (cov + cov.T)
 
+    marginal = (
+        marginal_from_prefix if form == "cov" else _marginal_from_prefix_sqrt
+    )
+
     def window_step(carry, inputs):
-        m0c, p0 = carry
+        m0c, p0 = carry  # p0: covariance ("cov") or its factor ("sqrt")
         ts_k, dts_k, ok_k = inputs
 
         def sweep(lin, _):
             els, scales, _sigmas = jax.vmap(element_one)(lin, ts_k, dts_k, ok_k)
             prefix = jax.lax.associative_scan(
-                lambda e_i, e_j: jax.vmap(_combine)(e_i, e_j), els
+                lambda e_i, e_j: jax.vmap(combine)(e_i, e_j), els
             )
             means_c, covs = jax.vmap(
-                lambda pk: marginal_from_prefix(pk, m0c, p0)
+                lambda pk: marginal(pk, m0c, p0)
             )(prefix)
             means = jax.vmap(from_cols)(means_c)
             # next linearization: l_k = Phi_k m_{k-1}, m_0 = window start
@@ -310,7 +434,9 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window):
         return (m_end, p_end), (means, covs, scales)
 
     # isotropic cholesky is (n, n) shared across d columns; dense is (nd, nd)
-    p0_init = rv0.cholesky @ rv0.cholesky.T
+    p0_init = (
+        rv0.cholesky @ rv0.cholesky.T if form == "cov" else rv0.cholesky
+    )
     _, (means_w, covs_w, scales_w) = jax.lax.scan(
         window_step, (to_cols(rv0.mean), p0_init), (ts_w, dts_w, valid_w)
     )
@@ -318,11 +444,14 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window):
     covs = covs_w.reshape(num_w * w, m_dim, m_dim)[:t1]
     scales = scales_w.reshape(num_w * w)[:t1]
 
-    eps = jnp.finfo(dtype).eps
-    jitter = eps * jnp.maximum(jnp.trace(covs, axis1=-2, axis2=-1), 1.0)
-    chol_cols = _cholesky_small(
-        covs + jitter[:, None, None] * jnp.eye(m_dim, dtype=dtype)
-    )
+    if form == "sqrt":
+        chol_cols = covs  # already (lower) factors from the stacked QRs
+    else:
+        eps = jnp.finfo(dtype).eps
+        jitter = eps * jnp.maximum(jnp.trace(covs, axis1=-2, axis2=-1), 1.0)
+        chol_cols = _cholesky_small(
+            covs + jitter[:, None, None] * jnp.eye(m_dim, dtype=dtype)
+        )
     rvs_rest = Normal(means, chol_cols)
     rvs = jax.tree.map(
         lambda f, r: jnp.concatenate([f[None], r]), rv0, rvs_rest

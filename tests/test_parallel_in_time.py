@@ -138,3 +138,83 @@ def test_parallel_forward_filter_rejects_smoother():
         ivpsolve.solve_fixed_grid(
             vf_p, init, grid=grid, solver=solver, parallel=True
         )
+
+
+def test_sqrt_form_matches_sequential_tighter_than_cov():
+    """QR-element combination (arXiv:2502.11686-style): same fixed point as
+    the covariance form, with the conditioning exponent halved -- in f64 it
+    lands an order of magnitude closer to the sequential scan."""
+    vf_p, init, grid, solver = _fixed_grid_setup("dynamic")
+    seq = ivpsolve.solve_fixed_grid(vf_p, init, grid=grid, solver=solver)
+    kw = dict(grid=grid, solver=solver, parallel=True, iterations=20)
+    par_sqrt = ivpsolve.solve_fixed_grid(vf_p, init, form="sqrt", **kw)
+    np.testing.assert_allclose(
+        np.asarray(par_sqrt.u), np.asarray(seq.u), rtol=0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(par_sqrt.u_std), np.asarray(seq.u_std), rtol=1e-8, atol=1e-14
+    )
+
+
+def test_sqrt_form_is_f32_viable():
+    """The headline capability: in float32 the covariance form loses the
+    combine to J ~ Q^-2 conditioning (~1e-3 error); sqrt elements stay at
+    f32 roundoff levels.  (TPU is f32-first: this is what makes the
+    parallel pass deployable on-chip without x64 emulation.)"""
+    vf, u0s, tspan, params = problems.rigid_body()
+    vf_p = lambda u, *, t: vf(u, t=t, p=params)  # noqa: E731
+    nu = 3
+    prior = ivpsolvers.prior_ibm(num_derivatives=nu, ode_shape=(3,))
+    strat = ivpsolvers.strategy_filter(prior, ivpsolvers.correction_ts0())
+    solver = ivpsolvers.solver_dynamic(strat)
+    u32 = tuple(jnp.asarray(u, jnp.float32) for u in u0s)
+    tcoeffs = taylor.odejet_padded_scan(lambda u: vf_p(u, t=tspan[0]), u32, num=nu)
+    init = solver.initial_condition(tcoeffs, jnp.float32(1.0))
+    grid = jnp.linspace(*tspan, num=160, dtype=jnp.float32)
+    seq = ivpsolve.solve_fixed_grid(vf_p, init, grid=grid, solver=solver)
+    kw = dict(grid=grid, solver=solver, parallel=True, iterations=20)
+    err_cov = float(jnp.max(jnp.abs(
+        ivpsolve.solve_fixed_grid(vf_p, init, form="cov", **kw).u - seq.u)))
+    err_sqrt = float(jnp.max(jnp.abs(
+        ivpsolve.solve_fixed_grid(vf_p, init, form="sqrt", **kw).u - seq.u)))
+    assert err_sqrt < 5e-5, err_sqrt
+    assert err_sqrt < err_cov / 20.0, (err_sqrt, err_cov)
+
+
+@pytest.mark.slow
+def test_sqrt_form_stays_bounded_on_stiff_vdp():
+    """Stiff VdP (mu=1e3, dense TS1, 20k-point grid): the covariance form
+    overflows (~1e65); sqrt elements stay O(1).  The windowed linearization
+    still converges to a DIFFERENT fixed point than the sequential
+    recursion on stiff dynamics (ROADMAP: open), so the gate here is
+    boundedness, not parity."""
+    vf, (u0, du0), _tspan = problems.van_der_pol(mu=1000.0)
+    nu = 4
+    prior = ivpsolvers.prior_ibm(
+        num_derivatives=nu, ode_shape=(1,), implementation="dense"
+    )
+    strat = ivpsolvers.strategy_filter(
+        prior, ivpsolvers.correction_ts1(ode_order=2)
+    )
+    solver = ivpsolvers.solver_dynamic(strat)
+    tcoeffs = taylor.odejet_padded_scan(
+        lambda *y: vf(*y, t=0.0), (u0, du0), num=nu - 1
+    )
+    init = solver.initial_condition(tcoeffs, 1.0)
+    grid = jnp.linspace(0.0, 2.0, num=20000)
+    seq = ivpsolve.solve_fixed_grid(vf, init, grid=grid, solver=solver)
+    assert np.all(np.isfinite(np.asarray(seq.u)))
+    par = ivpsolve.solve_fixed_grid(
+        vf, init, grid=grid, solver=solver, parallel=True, iterations=30,
+        window=4, form="sqrt",
+    )
+    assert np.all(np.isfinite(np.asarray(par.u)))
+    assert float(jnp.max(jnp.abs(par.u))) < 10.0
+
+
+def test_bad_form_rejected():
+    vf_p, init, grid, solver = _fixed_grid_setup("none")
+    with pytest.raises(ValueError, match="form"):
+        ivpsolve.solve_fixed_grid(
+            vf_p, init, grid=grid, solver=solver, parallel=True, form="qr"
+        )
