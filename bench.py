@@ -7,8 +7,9 @@ run_simple.py:22,40-56) — executed as large IVP ensembles on one TPU chip
 with the fused lanes-last step kernel (batched.solve_save_at_batched):
 
 * rtol 1e-1..1e-5 in float32 (Pallas engine, batch 32768),
-* rtol 1e-6..1e-9 in float64 (slow-but-correct TPU x64; Pallas if Mosaic
-  lowers it, else the identical fused step under XLA), batch HBM-guarded.
+* rtol 1e-6..1e-9 in compensated double-f32 pairs (batched_hi: the same
+  fused Pallas step with (hi, lo) mean/time/residual channels at ~2^-48;
+  fallback: float64 under XLA's x64 emulation, HBM-guarded).
 
 Validation inside the bench (not just finiteness):
 * RMSE against per-lane scipy-LSODA(1e-12) truth on sampled lanes must stay
@@ -162,6 +163,54 @@ class _null_ctx:
         return False
 
 
+def _sweep_hi(rtols, batch, *, sample, engine="pallas"):
+    """Tight-tolerance band on the df32 (compensated pair) fused engine:
+    one compiled program, rtol as a runtime input, RMSE gated per row."""
+    from odecheckpts_tpu import batched_hi, problems
+
+    vf, u0, tspan, params = _problem()
+    save_at_np = np.linspace(tspan[0], tspan[1], num=5)
+    u0_rows = _u0_ensemble(u0, batch)
+    u0s = jnp.asarray(u0_rows, jnp.float32)
+    truth = _truth_rows(np.asarray(u0s[:sample], np.float64), save_at_np)
+    solve = batched_hi.make_hi_solver(
+        vf, params, save_at=save_at_np, dt0=0.1,
+        vf_df=problems.rigid_body_df(params), engine=engine,
+        lanes=1024 if engine == "pallas" else None,
+    )
+    rows = []
+    for rtol in rtols:
+        tols = np.full((batch,), rtol, np.float32)
+        us, _uf, n = solve(u0s, tols)  # compile (first rtol) + warm
+        jax.block_until_ready(us[0])
+        t0 = time.perf_counter()
+        us, _uf, n = solve(u0s, tols)
+        jax.block_until_ready(us[0])
+        elapsed = time.perf_counter() - t0
+        u64 = batched_hi.combine64((us[0][:sample], us[1][:sample]))
+        rmse = float(np.sqrt(np.mean((u64 - truth) ** 2)))
+        assert np.isfinite(rmse), f"non-finite solution at rtol={rtol}"
+        assert rmse < RMSE_BOUND_FACTOR * rtol, (
+            f"accuracy gate failed at rtol={rtol}: rmse={rmse:.3e}"
+        )
+        rows.append(
+            {
+                "rtol": rtol,
+                "dtype": "df32",
+                "engine": f"{engine}-hi",
+                "batch": batch,
+                "seconds": round(elapsed, 4),
+                "solves_per_sec": round(batch / elapsed, 2),
+                "rmse": rmse,
+                "mean_steps": round(float(np.mean(np.asarray(n)[:, -1])), 1),
+                "ref_seconds_per_solve": REF_SECONDS[rtol],
+                "speedup_vs_ref": round(batch / elapsed * REF_SECONDS[rtol], 1),
+            }
+        )
+        print(f"# {rows[-1]}", file=sys.stderr, flush=True)
+    return rows
+
+
 def _engine_match(batch=1024, rtol=1e-3):
     """On-hardware Mosaic-vs-XLA gate at bench scale.
 
@@ -222,16 +271,24 @@ def main():
         print(f"# engine match failed: {e!r}", file=sys.stderr)
         max_du, engine_rmse = None, None
 
-    # f64, tight tolerances (x64 must be on before any f64 array exists)
-    jax.config.update("jax_enable_x64", True)
+    # tight tolerances: compensated double-f32 pairs in the fused Pallas
+    # kernel (no 64-bit types anywhere on the device)
     try:
         try:
-            rows += _sweep(jnp.float64, SWEEP_F64, batch64, "pallas", sample=sample)
+            rows += _sweep_hi(SWEEP_F64, batch32, sample=sample)
         except Exception as e:
-            print(f"# pallas f64 failed ({e!r}); XLA fallback", file=sys.stderr)
-            rows += _sweep(jnp.float64, SWEEP_F64, batch64, "xla", sample=sample)
+            print(f"# df32 pallas failed ({e!r}); df32 XLA fallback",
+                  file=sys.stderr)
+            rows += _sweep_hi(SWEEP_F64, batch32, sample=sample, engine="xla")
     except Exception as e:
-        print(f"# f64 sweep failed entirely: {e!r}", file=sys.stderr)
+        # last resort: float64 under XLA's x64 emulation (slow but correct)
+        print(f"# df32 sweep failed entirely ({e!r}); f64 fallback",
+              file=sys.stderr)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            rows += _sweep(jnp.float64, SWEEP_F64, batch64, "xla", sample=sample)
+        except Exception as e2:
+            print(f"# f64 sweep failed entirely: {e2!r}", file=sys.stderr)
 
     total_solves = sum(r["batch"] for r in rows)
     total_time = sum(r["seconds"] for r in rows)
@@ -260,8 +317,8 @@ def main():
                 "value": round(solves_per_s, 2),
                 "unit": (
                     "solves/s (rigid body tspan(0,50) TS0(4) fixedpoint save_at, "
-                    f"rtol 1e-1..1e-{len(rows)}, f32 batch {batch32} + "
-                    f"f64 batch {batch64}, one TPU chip)"
+                    f"rtol 1e-1..1e-{len(rows)}, f32+df32 pairs batch "
+                    f"{batch32}, one TPU chip)"
                 ),
                 "vs_baseline": round(solves_per_s / ref_rate, 2),
                 "rows": len(rows),

@@ -387,6 +387,8 @@ def make_hi_solver(
     hbm_budget="auto",
     ode_order=1,
     dtype=jnp.float32,
+    shard_mesh=None,
+    shard_axis="batch",
 ):
     """Build ``solve(u0s, tols) -> ((us_hi, us_lo), (uf_hi, uf_lo), nsteps)``.
 
@@ -399,6 +401,12 @@ def make_hi_solver(
     ``dtype=jnp.float64`` runs the identical algorithm on f64 pairs
     (double-double, ~2^-104) -- the CPU oracle mode used by the tests;
     requires x64 and the xla engine.
+
+    ``shard_mesh``: a 1-D ``jax.sharding.Mesh`` lays the solve out over
+    devices with ``jax.shard_map`` along ``shard_axis`` -- IVP ensembles are
+    embarrassingly parallel, so each shard runs the fused step kernel on its
+    local lanes with no collectives until the output gather.  Pass an
+    explicit ``lanes`` so the per-shard tile width is deterministic.
     """
     nu = num_derivatives
     n = nu + 1
@@ -521,7 +529,25 @@ def make_hi_solver(
             jnp.moveaxis(nsteps_out, -1, 0).astype(jnp.int32),
         )
 
-    jitted = jax.jit(device_solve)
+    if shard_mesh is not None:
+        from jax.sharding import PartitionSpec
+
+        _p = PartitionSpec(shard_axis)
+
+        def _sharded(m0_hi, m0_lo, tols):
+            return jax.shard_map(
+                device_solve,
+                mesh=shard_mesh,
+                in_specs=(_p, _p, _p),
+                out_specs=_p,  # pytree prefix: every output leaf is sharded
+                check_vma=False,
+            )(m0_hi, m0_lo, tols)
+
+        jitted = jax.jit(_sharded)
+        n_shards = int(np.prod([shard_mesh.shape[a] for a in shard_mesh.axis_names]))
+    else:
+        jitted = jax.jit(device_solve)
+        n_shards = 1
 
     def solve(u0s, tols):
         u0s_tuple = u0s if isinstance(u0s, tuple) else (u0s,)
@@ -540,7 +566,7 @@ def make_hi_solver(
             vf, u0s_tuple, params, t0, nu=nu, ode_order=ode_order,
             split_dtype=np_dtype,
         )
-        pad = (-b) % lane_width
+        pad = (-b) % (lane_width * n_shards)
         tols_np = np.asarray(tols, np_dtype)
         if pad:
             m0_hi = np.concatenate([m0_hi, np.tile(m0_hi[:1], (pad, 1, 1))])

@@ -148,3 +148,34 @@ def test_dp_train_step_runs_and_improves():
 def _exact_true(u0, t, a):
     c = (1.0 - u0) / u0
     return 1.0 / (1.0 + c * np.exp(-a * t))
+
+
+def test_sharded_hi_engine_matches_unsharded():
+    """The df32 tight-tolerance engine under shard_map: per-shard pair
+    solves equal the single-device solve bit-for-bit (same kernel, same
+    lane masks; sharding only splits the embarrassingly parallel axis)."""
+    from odecheckpts_tpu import batched_hi
+
+    mesh = _mesh()
+    vf, (u0,), tspan, params = problems.rigid_body(time_span=(0.0, 20.0))
+    save_at = jnp.linspace(0.0, 20.0, num=4)
+    batch = 2 * len(jax.devices())
+    key = jax.random.PRNGKey(0)
+    u0s = jnp.asarray(
+        u0[None] * (1.0 + 0.05 * jax.random.normal(key, (batch, 3))),
+        jnp.float32,
+    )
+    tols = np.full((batch,), 1e-8, np.float32)
+    kw = dict(
+        save_at=save_at, dt0=0.1, engine="xla", lanes=2,
+        vf_df=problems.rigid_body_df(params),
+    )
+    s_one = batched_hi.make_hi_solver(vf, params, **kw)
+    s_shd = batched_hi.make_hi_solver(
+        vf, params, shard_mesh=mesh, shard_axis="batch", **kw
+    )
+    us1, _uf1, n1 = s_one(u0s, tols)
+    us2, _uf2, n2 = s_shd(u0s, tols)
+    np.testing.assert_array_equal(np.asarray(us1[0]), np.asarray(us2[0]))
+    np.testing.assert_array_equal(np.asarray(us1[1]), np.asarray(us2[1]))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
