@@ -593,3 +593,79 @@ def solve_save_at_hi(vf, u0s, params, *, save_at, dt0, tols, **kwargs):
 def combine64(pair):
     """Collapse an (hi, lo) output pair to float64 on the host."""
     return np.asarray(pair[0], np.float64) + np.asarray(pair[1], np.float64)
+
+
+def make_routed_solver(
+    vf,
+    params,
+    *,
+    save_at,
+    dt0,
+    vf_df=None,
+    rtol_split=3e-6,
+    num_buckets_f32=4,
+    lanes=None,
+    engine="pallas",
+    interpret=False,
+    **solve_kwargs,
+):
+    """Precision-routed mixed-tolerance driver (host-side builder).
+
+    A production ensemble sweeps rtol across decades; one engine cannot be
+    optimal for all of them.  This router composes the two fused engines:
+
+    * lanes with rtol >= ``rtol_split`` go to the plain-f32 kernel through
+      the step-count bucketing of :func:`batched.make_bucketed_solver`
+      (loose lanes take few steps; padding them to tight lanes wastes
+      while-iterations), and
+    * lanes below the split go to the df32 pair kernel (plain f32 cannot
+      represent their solutions at all: 2^-24 > 10 * rtol).
+
+    The split threshold is where the f32 engine's accuracy gate fails
+    (rmse ~ C * max(rtol, eps32 * |u|), C ~ 1..4).  Both sub-solvers hold
+    ONE jitted program each; per-lane results are identical to running each
+    lane in its own engine (lanes are mask-isolated).
+
+    Returns ``solve(u0s, tols) -> (u64, nsteps)`` with ``u64`` the (B, T, d)
+    float64 smoothed solution on the host (f32 lanes upcast, df32 lanes
+    pair-combined); ``tols`` must be concrete (host values).
+    """
+    from . import batched
+
+    lo_solve = batched.make_bucketed_solver(
+        vf, params, save_at=save_at, dt0=dt0, num_buckets=num_buckets_f32,
+        engine=engine, interpret=interpret, lanes=lanes, **solve_kwargs,
+    )
+    hi_solve = make_hi_solver(
+        vf, params, save_at=save_at, dt0=dt0, vf_df=vf_df, engine=engine,
+        interpret=interpret, lanes=lanes, **solve_kwargs,
+    )
+
+    def solve(u0s, tols):
+        tols_np = np.asarray(tols)
+        b = tols_np.shape[0]
+        is_tuple = isinstance(u0s, tuple)
+        loose = tols_np >= rtol_split
+        idx_lo = np.nonzero(loose)[0]
+        idx_hi = np.nonzero(~loose)[0]
+
+        def take(idx):
+            if is_tuple:
+                return tuple(u[idx] for u in u0s)
+            return u0s[idx]
+
+        t_dim = len(np.asarray(save_at))
+        d_dim = (u0s[0] if is_tuple else u0s).shape[-1]
+        u64 = np.zeros((b, t_dim, d_dim), np.float64)
+        nsteps = np.zeros((b, t_dim), np.int64)
+        if idx_lo.size:
+            (u_s, _uf, n), _ = lo_solve(take(idx_lo), jnp.asarray(tols_np[idx_lo]))
+            u64[idx_lo] = np.asarray(u_s, np.float64)
+            nsteps[idx_lo] = np.asarray(n)
+        if idx_hi.size:
+            us, _uf, n = hi_solve(take(idx_hi), tols_np[idx_hi])
+            u64[idx_hi] = combine64(us)
+            nsteps[idx_hi] = np.asarray(n)
+        return u64, nsteps
+
+    return solve

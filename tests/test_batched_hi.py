@@ -148,3 +148,33 @@ def test_mixed_tolerances_in_one_batch():
     n_final = np.asarray(nsteps)[:, -1]
     assert np.all(err[1::2] < 10 * 1e-9)  # tight lanes: tight accuracy
     assert np.all(n_final[1::2] > 3 * n_final[0::2])  # and many more steps
+
+
+def test_routed_solver_meets_per_lane_accuracy_across_nine_decades():
+    """Precision routing: one mixed rtol 1e-1..1e-9 ensemble, every lane
+    within 10x its own tolerance (f32 lanes via bucketing, df32 below the
+    split -- the production mixed-workload driver)."""
+    vf, params, save_at, _ = _setup()
+    rtols = np.asarray([1e-1, 1e-3, 1e-5, 1e-6, 1e-7, 1e-8, 1e-9, 1e-2],
+                       np.float32)
+    batch = rtols.size
+    key = jax.random.PRNGKey(3)
+    noise = 0.05 * jax.random.normal(key, (batch, 3), jnp.float32)
+    u0 = jnp.asarray([1.0, 0.0, 0.9])
+    u0s = jnp.asarray(
+        np.asarray(u0, np.float64)[None] * (1.0 + np.asarray(noise, np.float64)),
+        jnp.float32,
+    )
+    solve = batched_hi.make_routed_solver(
+        vf, params, save_at=save_at, dt0=0.1,
+        vf_df=problems.rigid_body_df(params), engine="xla", lanes=2,
+        num_buckets_f32=2,
+    )
+    u64, nsteps = solve(u0s, rtols)
+    truth = _truth(np.asarray(u0s, np.float64), save_at)
+    err = np.sqrt(np.mean((u64 - truth) ** 2, axis=(1, 2)))
+    # eps32 floor applies to the f32 lanes; tolerance gate to every lane
+    gate = 10.0 * np.maximum(rtols.astype(np.float64), 3e-7)
+    assert np.all(err < gate), list(zip(rtols, err))
+    # tight lanes took many more steps than loose ones
+    assert nsteps[6, -1] > 5 * nsteps[0, -1]
