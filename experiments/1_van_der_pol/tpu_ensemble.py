@@ -1,0 +1,91 @@
+"""Stiff Van-der-Pol ensembles on TPU: the fused TS1 kernel at scale.
+
+The reference's exp-1 studies step sizes of ONE VdP solve per tolerance on
+CPU (/root/reference/experiments/1_van_der_pol/vdp.py).  The TPU-native
+extension sweeps ensembles: for each stiffness mu in a log range, a batch of
+perturbed initial conditions runs through the fused lanes-last TS1(4) step
+kernel (batched.solve_save_at_batched(correction="ts1"), one Pallas call per
+accept/reject attempt).  Emits one JSON with per-mu throughput and accepted
+step counts; data committed as data_tpu_ensemble.json.
+
+Usage: python tpu_ensemble.py [--batch 4096] [--mus 8] [--tol 1e-3]
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--mus", type=int, default=8)
+    ap.add_argument("--tol", type=float, default=1e-3)
+    ap.add_argument("--mu-min", type=float, default=10.0)
+    ap.add_argument("--mu-max", type=float, default=1000.0)
+    ap.add_argument("--platform", default=os.environ.get("ODECKPT_PLATFORM"))
+    ap.add_argument("--engine", default="pallas")
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from odecheckpts_tpu import batched, problems
+
+    tspan = (0.0, 6.3)
+    save_at = jnp.linspace(*tspan, num=4, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    noise = 1e-2 * jax.random.normal(key, (args.batch, 1), jnp.float32)
+    rows = []
+    for mu in np.geomspace(args.mu_min, args.mu_max, args.mus):
+        vf, (u0, du0), _ = problems.van_der_pol(mu=float(mu))
+        u0s = (
+            u0.astype(jnp.float32)[None] * (1.0 + noise),
+            jnp.broadcast_to(du0.astype(jnp.float32)[None], (args.batch, 1)),
+        )
+        tols = jnp.full((args.batch,), args.tol, jnp.float32)
+        solve = jax.jit(
+            lambda u, t, _vf=vf: batched.solve_save_at_batched(
+                _vf, u, (), save_at=save_at, dt0=0.01, tols=t,
+                engine=args.engine, ode_order=2, correction="ts1",
+                strategy="filter", lanes=1024 if args.engine == "pallas" else None,
+            )
+        )
+        u_s, _uf, n = solve(u0s, tols)  # compile + warm
+        jax.block_until_ready(u_s)
+        t0 = time.perf_counter()
+        u_s, _uf, n = solve(u0s, tols)
+        jax.block_until_ready(u_s)
+        el = time.perf_counter() - t0
+        finite = bool(jnp.all(jnp.isfinite(u_s)))
+        row = {
+            "mu": float(mu),
+            "tol": args.tol,
+            "batch": args.batch,
+            "seconds": round(el, 4),
+            "solves_per_sec": round(args.batch / el, 1),
+            "mean_steps": round(float(jnp.mean(n[:, -1].astype(jnp.float32))), 1),
+            "max_steps": int(jnp.max(n[:, -1])),
+            "finite": finite,
+            "u_terminal_mean": round(float(jnp.mean(u_s[:, -1, 0])), 4),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "data_tpu_ensemble.json")
+    with open(out, "w") as f:
+        json.dump({"engine": args.engine, "rows": rows}, f, indent=1)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

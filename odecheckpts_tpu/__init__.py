@@ -18,8 +18,16 @@ Module tour (import-parity with the reference stack where applicable):
     rk            native adaptive Runge-Kutta baselines (diffrax stand-ins)
     train         loss/update builders for ODE parameter estimation
     parallel      batched sweeps on device meshes (vmap + shard_map)
+    parallel_time parallel-in-time forward filter (cov + sqrt elements)
+    batched       fused lanes-last adaptive engine (one Pallas step kernel)
+    batched_hi    df32 tight-tolerance engine + precision-routed driver
+    df32          compensated (hi, lo) two-float arithmetic for kernels
     control_flow  overridable / bounded while-loop (reverse-mode AD support)
 """
+
+from . import batched  # noqa: F401
+from . import batched_hi  # noqa: F401
+from . import df32  # noqa: F401
 
 from . import control_flow  # noqa: F401
 from . import exp_util  # noqa: F401

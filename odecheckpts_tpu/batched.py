@@ -16,10 +16,11 @@ cholesky) are embedded as Python float literals in unrolled loops, so the
 kernel captures no arrays; QR factorizations are the unrolled Householder
 elimination over lanes (cf. pallas_kernels.batched_qr_r).
 
-Scope: isotropic backend, TS0, ode_order=1, filter or fixedpoint strategy,
-dynamic or fixed calibration -- the flagship benchmark configuration
+Scope: isotropic backend, TS0 (any d) or TS1 (d=1, the stiff Van-der-Pol
+configuration), ode_order in {1, 2}, filter or fixedpoint strategy, dynamic
+or fixed calibration -- the flagship benchmark configurations
 (BASELINE.json).  The generic vmapped path in ``parallel`` covers everything
-else.
+else; the df32 tight-tolerance variant lives in ``batched_hi``.
 """
 
 from __future__ import annotations
@@ -141,7 +142,8 @@ def _matmul_ll(a, b, n):
 
 
 def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
-                 calibration="dynamic", control=None, ode_order=1):
+                 calibration="dynamic", control=None, ode_order=1,
+                 correction="ts0"):
     """Lanes-last adaptive attempt; pure jnp (usable inside a Pallas kernel).
 
     ``ode_order`` in {1, 2}: the TS0 residual observes derivative ``o``
@@ -150,6 +152,12 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
     for the reference's 2nd-order workloads (three-body/Pleiades,
     /root/reference/experiments/5_vs_interpolation/measure.py:159-176).
     ``vf_batched`` takes a tuple of ``ode_order`` lanes-last (d, B) arrays.
+
+    ``correction="ts1"`` (d=1 only, the stiff Van-der-Pol configuration,
+    cf. /root/reference/experiments/1_van_der_pol/vdp.py): observes
+    H = E_o - sum_k J_k E_k with per-lane Jacobians obtained by jvp inside
+    the kernel; mirrors the dense backend's h_q_unit/h_l_rows semantics,
+    which for d=1 coincide with this lanes-last layout.
     """
     from .ivpsolve import Control
 
@@ -162,6 +170,25 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
     sqrt_d = math.sqrt(1.0 * d)
     n1 = ctrl.power_integral / (nu + 1.0)
     n2 = ctrl.power_proportional / (nu + 1.0)
+    ts1 = correction == "ts1"
+    if ts1 and d != 1:
+        raise NotImplementedError(
+            "fused ts1 covers d=1 (the dense backend's d=1 case); use the "
+            "generic vmapped path for d > 1"
+        )
+
+    def vf_jacs(args, t):
+        # per-lane scalar Jacobians d f / d u^(k): for d=1 a unit-tangent
+        # jvp per argument IS the Jacobian (elementwise vector fields trace
+        # into pure VPU ops, so this lowers inside the Pallas kernel)
+        outs = []
+        for k in range(o):
+            def fk(a, _k=k):
+                return vf_batched(args[:_k] + (a,) + args[_k + 1:], t)
+
+            _, jv = jax.jvp(fk, (args[k],), (jnp.ones_like(args[k]),))
+            outs.append(jv)
+        return tuple(outs)
 
     def precond(dt):
         # p_i = sqrt(dt) dt^(nu-i)/(nu-i)! as a list of (1, B) arrays
@@ -186,11 +213,12 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
         m_bar_pred = _const_matmul(a_rows, m_bar)
         m_pred = p_arr[:, None, :] * m_bar_pred
 
-        # -- linearize (TS0 on derivative o)
+        # -- linearize (TS0/TS1 on derivative o)
         u_pred = _mid(m_pred, 0, axis=0)  # (d, B)
         args = tuple(_mid(m_pred, k, axis=0) for k in range(o))
         fx = vf_batched(args, t_new)
         z = _mid(m_pred, o, axis=0) - fx  # (d, B)
+        jacs = vf_jacs(args, t_new) if ts1 else ()
 
         # -- local scale + error (solution units); reductions over the tiny
         # d axis are unrolled row-adds (Mosaic: no float reductions over
@@ -198,7 +226,17 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
         def _row(x2, i):
             return jax.lax.slice_in_dim(x2, i, i + 1, axis=0)
 
-        s_unit = p[o] * lq_norms[o]  # (1, B)
+        if ts1:
+            # ||H P Lq||: v_j = p_o Lq[o,j] - sum_k J_k p_k Lq[k,j] per lane
+            s2u = None
+            for jc in range(n):
+                v = p[o] * lq_rows[o][jc]
+                for k in range(o):
+                    v = v - jacs[k] * (p[k] * lq_rows[k][jc])
+                s2u = v * v if s2u is None else s2u + v * v
+            s_unit = jnp.sqrt(s2u)  # (1, B)
+        else:
+            s_unit = p[o] * lq_norms[o]  # (1, B)
         zz = _row(z, 0) ** 2
         tol_acc = 1.0 / (atol + rtol * jnp.abs(_row(u_pred, 0))) ** 2
         for i in range(1, d):
@@ -253,8 +291,11 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
             l_pred = p_arr[:, None, :] * jnp.swapaxes(r, 0, 1)
             gain = bwd_m_step = bwd_L_step = None
 
-        # -- TS0 correction (rank-1 Potter update on derivative o)
+        # -- TS0/TS1 correction (rank-1 Potter update on the observation row)
         l_obs = _mid(l_pred, o, axis=0)  # (n, B)
+        for k in range(o):
+            if ts1:
+                l_obs = l_obs - jacs[k] * _mid(l_pred, k, axis=0)
         s2 = _row(l_obs, 0) ** 2
         for i in range(1, n):
             s2 = s2 + _row(l_obs, i) ** 2
@@ -523,6 +564,7 @@ def solve_save_at_batched(
     lanes=None,
     hbm_budget="auto",
     ode_order=1,
+    correction="ts0",
 ):
     """Batched fixed-memory adaptive solve, fused step kernel.
 
@@ -618,9 +660,11 @@ def solve_save_at_batched(
     )
     state0 = _generic_to_state(s0_generic, needs_rev, dtype)
 
+    # the generic scaffolding (taylor init, interpolation) is correction-
+    # independent: ts0 strategies serve both fused corrections
     step_ll = make_step_ll(
         vfb, nu=nu, d=d, strategy=strategy, calibration=calibration,
-        ode_order=ode_order,
+        ode_order=ode_order, correction=correction,
     )
     if engine == "pallas":
         step_call = _pallas_step(step_ll, interpret=interpret, lanes=lane_width)

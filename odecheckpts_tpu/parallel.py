@@ -20,11 +20,37 @@ elements.  The TPU rebuild promotes parallelism to a first-class subsystem:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from . import facade, stats
+
+
+def init_distributed(**kwargs):
+    """Multi-host entry point: initialize the JAX distributed runtime and
+    return a 1-D mesh over ALL hosts' devices.
+
+    On a multi-host TPU slice, call this once per process before building
+    solvers; every ``shard_*`` builder in this module then lays batches out
+    across the full slice (the data-parallel axis is embarrassingly
+    parallel, so cross-host traffic is only the output gather).  On a
+    single-host setup (no coordinator configured and no cluster environment
+    detected) the distributed init is skipped and the mesh covers the local
+    devices -- so driver scripts run unchanged in both settings.
+
+    ``kwargs`` forward to ``jax.distributed.initialize``
+    (coordinator_address, num_processes, process_id, ...).
+    """
+    # opt-in: single-chip relay environments leak TPU_* cluster variables,
+    # so auto-detection misfires; require explicit kwargs or the env flag
+    if kwargs or os.environ.get("ODECKPT_DISTRIBUTED") == "1":
+        jax.distributed.initialize(**kwargs)
+    import numpy as np
+
+    return Mesh(np.array(jax.devices()), ("batch",))
 
 
 def build_batched_solve(

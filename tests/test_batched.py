@@ -154,3 +154,87 @@ def test_bucketed_solve_matches_unbucketed_and_cuts_padded_iterations():
     per_bucket = sum((batch // 4) * m for m in bucket_max)
     unbucketed = batch * int(jnp.max(steps_ref[:, -1]))
     assert per_bucket < 0.6 * unbucketed, (bucket_max, unbucketed)
+
+
+def test_ts1_fused_matches_generic_dense_on_vdp():
+    """Fused TS1 (d=1, the stiff VdP configuration): equivalence against the
+    generic dense-backend TS1 solver, moderately stiff mu=10."""
+    from odecheckpts_tpu import ivpsolve, ivpsolvers, taylor
+
+    mu = 10.0
+    vf, (u0, du0), _tspan = problems.van_der_pol(mu=mu)
+    save_at = jnp.linspace(0.0, 2.0, num=4)
+    batch = 8
+    key = jax.random.PRNGKey(4)
+    noise = 1e-2 * jax.random.normal(key, (batch, 1), jnp.float64)
+    u0s = u0[None] * (1.0 + noise)
+    du0s = jnp.broadcast_to(du0[None], (batch, 1)) + 0.1 * noise
+    tols = jnp.full((batch,), 1e-7, jnp.float64)
+
+    u_s, _uf, nsteps = jax.jit(
+        lambda u, t: batched.solve_save_at_batched(
+            vf, u, (), save_at=save_at, dt0=0.01, tols=t, engine="xla",
+            ode_order=2, correction="ts1", strategy="filter",
+        )
+    )((u0s, du0s), tols)
+    assert np.all(np.isfinite(np.asarray(u_s)))
+
+    # generic oracle: dense TS1 filter, solved per lane
+    nu = 4
+    prior = ivpsolvers.prior_ibm(
+        num_derivatives=nu, ode_shape=(1,), implementation="dense"
+    )
+    strat = ivpsolvers.strategy_filter(
+        prior, ivpsolvers.correction_ts1(ode_order=2)
+    )
+    solver = ivpsolvers.solver_dynamic(strat)
+
+    def solve_one(u0_one, du0_one, tol):
+        tcoeffs = taylor.odejet_padded_scan(
+            lambda *y: vf(*y, t=0.0), (u0_one, du0_one), num=nu - 1
+        )
+        init = solver.initial_condition(tcoeffs, 1.0)
+        asolver = ivpsolve.adaptive(solver, atol=1e-3 * tol, rtol=tol)
+        sol = ivpsolve.solve_adaptive_save_at(
+            vf, init, save_at=save_at, dt0=0.01, adaptive_solver=asolver
+        )
+        return sol.u, sol.num_steps[-1]
+
+    u_ref, steps_ref = jax.vmap(solve_one)(u0s, du0s, tols)
+    np.testing.assert_allclose(
+        np.asarray(_uf), np.asarray(u_ref), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(nsteps[:, -1], float), np.asarray(steps_ref, float),
+        rtol=0.05,
+    )
+
+
+def test_ts1_fused_rejects_d_gt_1():
+    vf, params, save_at, u0s, tols = _inputs(batch=8, dtype=jnp.float32)
+    with pytest.raises(NotImplementedError, match="d=1"):
+        batched.solve_save_at_batched(
+            vf, u0s, params, save_at=save_at, dt0=0.1, tols=tols,
+            engine="xla", correction="ts1",
+        )
+
+
+def test_ts1_fused_pallas_interpret_matches_xla():
+    """The jvp-derived per-lane Jacobians trace into pure VPU ops: the TS1
+    kernel must lower through the Pallas machinery unchanged."""
+    vf, (u0, du0), _tspan = problems.van_der_pol(mu=10.0)
+    save_at = jnp.linspace(0.0, 2.0, num=3, dtype=jnp.float32)
+    batch = 8
+    u0s = (
+        jnp.broadcast_to(u0.astype(jnp.float32)[None], (batch, 1)),
+        jnp.broadcast_to(du0.astype(jnp.float32)[None], (batch, 1)),
+    )
+    tols = jnp.full((batch,), 1e-4, jnp.float32)
+    kw = dict(save_at=save_at, dt0=0.01, tols=tols, ode_order=2,
+              correction="ts1")
+    u_x, _, n_x = batched.solve_save_at_batched(vf, u0s, (), engine="xla", **kw)
+    u_p, _, n_p = batched.solve_save_at_batched(
+        vf, u0s, (), engine="pallas", interpret=True, **kw
+    )
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), rtol=2e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_x))
