@@ -565,8 +565,17 @@ def solve_save_at_batched(
     hbm_budget="auto",
     ode_order=1,
     correction="ts0",
+    max_attempts=100_000,
 ):
     """Batched fixed-memory adaptive solve, fused step kernel.
+
+    ``max_attempts`` bounds the while-loop attempts (accepted + rejected)
+    per checkpoint interval: a pathological lane (e.g. pinned at a step
+    floor by f32 rounding on a singular encounter) would otherwise spin the
+    chip until the runtime kills the worker -- on shared TPU relays that
+    wedges the device for every later program.  Lanes that hit the cap
+    stop where they are; their emitted checkpoint values extrapolate from
+    t < t_next and their ``num_steps`` row exposes the truncation.
 
     ``u0s``: (B, d) for ``ode_order=1``, or a tuple of ``ode_order`` arrays
     (B, d) -- e.g. (positions, velocities) for second-order vector fields;
@@ -684,13 +693,18 @@ def solve_save_at_batched(
     def per_checkpoint(state, t_next):
         t_next_v = jnp.full((1, bb), t_next, dtype)
 
-        def cond(s):
-            return jnp.any(s[0] < t_next)
+        def cond(carry):
+            s, k = carry
+            return jnp.any(s[0] < t_next) & (k < max_attempts)
 
-        def body(s):
-            return step_call(s, t_next_v, atol, rtol, dt_max_v, dt_floor_v, tiny_v)
+        def body(carry):
+            s, k = carry
+            s2 = step_call(s, t_next_v, atol, rtol, dt_max_v, dt_floor_v, tiny_v)
+            return s2, k + 1
 
-        state = jax.lax.while_loop(cond, body, state)
+        state, _ = jax.lax.while_loop(
+            cond, body, (state, jnp.zeros((), jnp.int32))
+        )
         gen = _state_to_generic(state, needs_rev)
         (rv_e, cond_e), gen2 = interp_v(gen, t_next)
         state2 = _generic_to_state(gen2, needs_rev, dtype)

@@ -389,6 +389,7 @@ def make_hi_solver(
     dtype=jnp.float32,
     shard_mesh=None,
     shard_axis="batch",
+    max_attempts=100_000,
 ):
     """Build ``solve(u0s, tols) -> ((us_hi, us_lo), (uf_hi, uf_lo), nsteps)``.
 
@@ -465,15 +466,21 @@ def make_hi_solver(
         def per_checkpoint(state, t_next):
             t_next_v = jnp.full((1, bb), t_next, dtype)
 
-            def cond(s):
-                return jnp.any(s[0] < t_next)
+            def cond(carry):
+                s, k = carry
+                return jnp.any(s[0] < t_next) & (k < max_attempts)
 
-            def body(s):
-                return step_call(
+            def body(carry):
+                s, k = carry
+                s2 = step_call(
                     s, t_next_v, atol, rtol, dt_max_v, dt_floor_v, tiny_v
                 )
+                return s2, k + 1
 
-            state = jax.lax.while_loop(cond, body, state)
+            # attempt cap = chip-hang guard (see batched.solve_save_at_batched)
+            state, _ = jax.lax.while_loop(
+                cond, body, (state, jnp.zeros((), jnp.int32))
+            )
             (t_hi, t_lo, mean_hi, mean_lo, chol, scale,
              g_acc, msp_hi, msp_lo, dt_st, errn_prev, nsteps) = state
             emit = (mean_hi, mean_lo, msp_hi, msp_lo, g_acc, nsteps)

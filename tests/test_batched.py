@@ -238,3 +238,21 @@ def test_ts1_fused_pallas_interpret_matches_xla():
     )
     np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), rtol=2e-4, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_x))
+
+
+def test_attempt_cap_bounds_the_while_loop():
+    """The chip-hang guard: with a tiny cap the solve returns (truncated)
+    instead of iterating forever; with the default cap results are
+    unchanged."""
+    vf, params, save_at, u0s, tols = _inputs(batch=8, dtype=jnp.float32)
+    kw = dict(save_at=save_at, dt0=0.1, tols=tols, engine="xla")
+    u_full, _, n_full = batched.solve_save_at_batched(vf, u0s, params, **kw)
+    u_cap, _, n_cap = batched.solve_save_at_batched(
+        vf, u0s, params, max_attempts=10, **kw
+    )
+    assert int(np.max(np.asarray(n_cap))) <= 4 * 10  # 4 intervals x cap
+    assert int(np.max(np.asarray(n_full))) > 4 * 10
+    u_default, _, _ = batched.solve_save_at_batched(
+        vf, u0s, params, max_attempts=100_000, **kw
+    )
+    np.testing.assert_array_equal(np.asarray(u_default), np.asarray(u_full))
