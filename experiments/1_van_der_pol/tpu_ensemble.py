@@ -38,7 +38,7 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    from odecheckpts_tpu import batched, problems
+    from odecheckpts_tpu import batched, batched_hi, problems
 
     tspan = (0.0, 6.3)
     save_at = jnp.linspace(*tspan, num=4, dtype=jnp.float32)
@@ -52,17 +52,34 @@ def main():
             jnp.broadcast_to(du0.astype(jnp.float32)[None], (args.batch, 1)),
         )
         tols = jnp.full((args.batch,), args.tol, jnp.float32)
-        solve = jax.jit(
-            lambda u, t, _vf=vf: batched.solve_save_at_batched(
-                _vf, u, (), save_at=save_at, dt0=0.01, tols=t,
-                engine=args.engine, ode_order=2, correction="ts1",
-                strategy="filter", lanes=1024 if args.engine == "pallas" else None,
+        if args.engine.startswith("hi"):
+            # df32 pair engine: its compensated time axis resolves the
+            # dt ~ 1/mu steps that sit below the plain-f32 stall floor at
+            # mu ~ 1e3 (pallas unless "hi-xla")
+            eng = "xla" if args.engine == "hi-xla" else "pallas"
+            solve = batched_hi.make_hi_solver(
+                vf, (), save_at=np.asarray(save_at), dt0=0.01,
+                engine=eng, ode_order=2, correction="ts1",
+                strategy="filter", lanes=1024 if eng == "pallas" else None,
             )
-        )
-        u_s, _uf, n = solve(u0s, tols)  # compile + warm
+
+            def run(u, t, _s=solve):
+                us, uf, n = _s(u, np.asarray(t))
+                return us[0], uf, n
+        else:
+            solve = jax.jit(
+                lambda u, t, _vf=vf: batched.solve_save_at_batched(
+                    _vf, u, (), save_at=save_at, dt0=0.01, tols=t,
+                    engine=args.engine, ode_order=2, correction="ts1",
+                    strategy="filter",
+                    lanes=1024 if args.engine == "pallas" else None,
+                )
+            )
+            run = solve
+        u_s, _uf, n = run(u0s, tols)  # compile + warm
         jax.block_until_ready(u_s)
         t0 = time.perf_counter()
-        u_s, _uf, n = solve(u0s, tols)
+        u_s, _uf, n = run(u0s, tols)
         jax.block_until_ready(u_s)
         el = time.perf_counter() - t0
         finite = bool(jnp.all(jnp.isfinite(u_s)))

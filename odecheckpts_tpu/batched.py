@@ -227,14 +227,20 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
             return jax.lax.slice_in_dim(x2, i, i + 1, axis=0)
 
         if ts1:
-            # ||H P Lq||: v_j = p_o Lq[o,j] - sum_k J_k p_k Lq[k,j] per lane
+            # ||H P Lq||: v_j = p_o Lq[o,j] - sum_k J_k p_k Lq[k,j] per lane.
+            # The Jacobian terms can CANCEL the whole vector at unlucky
+            # (dt, J) combinations (observed on TPU at VdP mu=1e3: sigma ->
+            # inf -> NaN covariance -> lane crawls at the stall floor);
+            # floor at eps32 x the TS0 unit -- far below any physical value,
+            # and an inflated sigma only makes the controller conservative.
             s2u = None
             for jc in range(n):
                 v = p[o] * lq_rows[o][jc]
                 for k in range(o):
                     v = v - jacs[k] * (p[k] * lq_rows[k][jc])
                 s2u = v * v if s2u is None else s2u + v * v
-            s_unit = jnp.sqrt(s2u)  # (1, B)
+            floor = 1.2e-7 * (p[o] * lq_norms[o])
+            s_unit = jnp.sqrt(s2u + floor * floor)  # (1, B)
         else:
             s_unit = p[o] * lq_norms[o]  # (1, B)
         zz = _row(z, 0) ** 2
@@ -247,7 +253,13 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
         errn = err_u * jnp.sqrt(tol_acc / (1.0 * d))
 
         if calibration == "dynamic":
-            new_scale = jnp.maximum(sigma, tiny_scale)
+            # finite ceiling: an overflowed attempt (z = inf during a wild
+            # rejected step) must yield a large-but-finite scale -- inf
+            # covariance columns turn the Householder updates into 0*inf =
+            # NaN, and NaN survives even the reject path on some backends
+            big = float(jnp.finfo(sigma.dtype).max) ** 0.4
+            sigma_safe = jnp.where(jnp.isfinite(sigma), sigma, big)
+            new_scale = jnp.clip(sigma_safe, tiny_scale, big)
         else:
             new_scale = scale
 
@@ -299,6 +311,9 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
         s2 = _row(l_obs, 0) ** 2
         for i in range(1, n):
             s2 = s2 + _row(l_obs, i) ** 2
+        # tiny addend: a fully-cancelled innovation (H L == 0) must yield a
+        # zero gain, not 0/0 (below one ulp of any physical s2)
+        s2 = s2 + jnp.finfo(s2.dtype).tiny
         crosscov = _matmul_ll(l_pred, l_obs[:, None, :], n)  # (n, 1, B)
         g_corr = crosscov / s2[None, :, :]
         mean_cor = m_pred - g_corr * z[None, :, :]

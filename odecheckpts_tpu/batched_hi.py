@@ -25,10 +25,13 @@ re-derives the fused lanes-last step of :mod:`odecheckpts_tpu.batched` with
   checkpoint backward recursion is the same identity:
   m_s(t_k) = m_sp(k) + G_acc(k) @ (m_s(t_{k+1}) - m_f(t_{k+1})).
 
-Scope mirrors ``batched.solve_save_at_batched``: isotropic TS0,
-ode_order in {1, 2}, filter/fixedpoint, dynamic/none calibration.  Smoothed
-COVARIANCES are not produced (means only -- the work-precision deliverable);
-use the generic stack when posterior spread at checkpoints is needed.
+Scope mirrors ``batched.solve_save_at_batched``: isotropic TS0 (any d) or
+TS1 (d=1 -- with the compensated time axis this engine reaches stiffness
+regimes the plain-f32 kernel cannot: VdP mu=1e3 needs dt ~ 1/mu below the
+f32 stall floor 4*eps32*t), ode_order in {1, 2}, filter/fixedpoint,
+dynamic/none calibration.  Smoothed COVARIANCES are not produced (means
+only -- the work-precision deliverable); use the generic stack when
+posterior spread at checkpoints is needed.
 """
 
 from __future__ import annotations
@@ -130,7 +133,7 @@ def _taylor_extrap_df(mean, dt, nu):
 
 
 def make_step_hi(vf_df, *, nu, d, strategy="fixedpoint", calibration="dynamic",
-                 control=None, ode_order=1):
+                 control=None, ode_order=1, correction="ts0"):
     """Lanes-last adaptive attempt with df32 mean/time/residual channels.
 
     ``vf_df`` takes (args, t) where args is a tuple of ``ode_order``
@@ -149,6 +152,22 @@ def make_step_hi(vf_df, *, nu, d, strategy="fixedpoint", calibration="dynamic",
     sqrt_d = math.sqrt(1.0 * d)
     n1 = ctrl.power_integral / (nu + 1.0)
     n2 = ctrl.power_proportional / (nu + 1.0)
+    ts1 = correction == "ts1"
+    if ts1 and d != 1:
+        raise NotImplementedError("ts1 in the hi engine covers d=1")
+
+    def vf_jacs(args, t):
+        # per-lane Jacobians from the hi channel (f32 suffices: they only
+        # steer the error unit and the observation row, never the mean)
+        outs = []
+        for k in range(o):
+            def fk(a, _k=k):
+                full = args[:_k] + ((a, jnp.zeros_like(a)),) + args[_k + 1:]
+                return vf_df(full, t)[0]
+
+            _, jv = jax.jvp(fk, (args[k][0],), (jnp.ones_like(args[k][0]),))
+            outs.append(jv)
+        return tuple(outs)
 
     def precond(dt):
         pows = [None] * n
@@ -194,12 +213,24 @@ def make_step_hi(vf_df, *, nu, d, strategy="fixedpoint", calibration="dynamic",
         fx = vf_df(args, t_new)
         z = df.sub((_mid(m_pred_hi, o, axis=0), _mid(m_pred_lo, o, axis=0)), fx)
         z_hi = z[0]  # full f32 relative accuracy OF THE SMALL RESIDUAL
+        jacs = vf_jacs(args, t_new) if ts1 else ()
 
         # -- local scale + error (f32: only steers the controller)
         def _row(x2, i):
             return jax.lax.slice_in_dim(x2, i, i + 1, axis=0)
 
-        s_unit = p[o] * lq_norms[o]
+        if ts1:
+            # ||H P Lq|| with a cancellation floor (cf. batched.make_step_ll)
+            s2u = None
+            for jc in range(n):
+                v = p[o] * lq_rows[o][jc]
+                for k in range(o):
+                    v = v - jacs[k] * (p[k] * lq_rows[k][jc])
+                s2u = v * v if s2u is None else s2u + v * v
+            floor = 1.2e-7 * (p[o] * lq_norms[o])
+            s_unit = jnp.sqrt(s2u + floor * floor)
+        else:
+            s_unit = p[o] * lq_norms[o]
         zz = _row(z_hi, 0) ** 2
         tol_acc = 1.0 / (atol + rtol * jnp.abs(_row(u_pred, 0))) ** 2
         for i in range(1, d):
@@ -210,7 +241,11 @@ def make_step_hi(vf_df, *, nu, d, strategy="fixedpoint", calibration="dynamic",
         errn = err_u * jnp.sqrt(tol_acc / (1.0 * d))
 
         if calibration == "dynamic":
-            new_scale = jnp.maximum(sigma, tiny_scale)
+            # finite ceiling against inf covariance columns -> 0*inf = NaN
+            # in the QR (cf. batched.make_step_ll)
+            big = float(jnp.finfo(sigma.dtype).max) ** 0.4
+            sigma_safe = jnp.where(jnp.isfinite(sigma), sigma, big)
+            new_scale = jnp.clip(sigma_safe, tiny_scale, big)
         else:
             new_scale = scale
 
@@ -245,11 +280,15 @@ def make_step_hi(vf_df, *, nu, d, strategy="fixedpoint", calibration="dynamic",
             l_pred = pb * jnp.swapaxes(jnp.stack([c[:n] for c in cols], axis=1), 0, 1)
             gain = None
 
-        # -- TS0 correction (rank-1 Potter update), mean in df32
+        # -- TS0/TS1 correction (rank-1 Potter update), mean in df32
         l_obs = _mid(l_pred, o, axis=0)  # (n, B)
+        for k in range(o):
+            if ts1:
+                l_obs = l_obs - jacs[k] * _mid(l_pred, k, axis=0)
         s2 = _row(l_obs, 0) ** 2
         for i in range(1, n):
             s2 = s2 + _row(l_obs, i) ** 2
+        s2 = s2 + jnp.finfo(s2.dtype).tiny  # cancelled innovation -> zero gain
         crosscov = _matmul_ll(l_pred, l_obs[:, None, :], n)  # (n, 1, B)
         g_corr = crosscov / s2[None, :, :]
         corr_term = df.mul1((z[0][None, :, :], z[1][None, :, :]), g_corr)
@@ -386,6 +425,7 @@ def make_hi_solver(
     control=None,
     hbm_budget="auto",
     ode_order=1,
+    correction="ts0",
     dtype=jnp.float32,
     shard_mesh=None,
     shard_axis="batch",
@@ -444,7 +484,7 @@ def make_hi_solver(
 
         step_ll = make_step_hi(
             vf_df_, nu=nu, d=d, strategy=strategy, calibration=calibration,
-            control=control, ode_order=ode_order,
+            control=control, ode_order=ode_order, correction=correction,
         )
         lane_width = lanes or min(LANES * 8, max(LANES, bb))
         if engine == "pallas":
@@ -609,7 +649,7 @@ def make_routed_solver(
     save_at,
     dt0,
     vf_df=None,
-    rtol_split=3e-6,
+    rtol_split=1e-5,
     num_buckets_f32=4,
     lanes=None,
     engine="pallas",
@@ -628,8 +668,10 @@ def make_routed_solver(
     * lanes below the split go to the df32 pair kernel (plain f32 cannot
       represent their solutions at all: 2^-24 > 10 * rtol).
 
-    The split threshold is where the f32 engine's accuracy gate fails
-    (rmse ~ C * max(rtol, eps32 * |u|), C ~ 1..4).  Both sub-solvers hold
+    The split threshold is where the f32 engine's accuracy floor
+    (~4e-5 absolute on the rigid-body tspan-50 protocol: sqrt(N_steps)
+    rounding accumulation) stops clearing a 10x-rtol gate; 1e-5 matches the
+    bench partition (bench.py SWEEP_F32/SWEEP_F64).  Both sub-solvers hold
     ONE jitted program each; per-lane results are identical to running each
     lane in its own engine (lanes are mask-isolated).
 

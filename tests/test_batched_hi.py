@@ -178,3 +178,74 @@ def test_routed_solver_meets_per_lane_accuracy_across_nine_decades():
     assert np.all(err < gate), list(zip(rtols, err))
     # tight lanes took many more steps than loose ones
     assert nsteps[6, -1] > 5 * nsteps[0, -1]
+
+
+def test_ts1_hi_engine_on_stiff_vdp():
+    """TS1 in the df32 engine: stiff VdP mu=1e3 stays finite and tracks
+    LSODA truth at loose checkpoints away from the relaxation jumps.  The
+    plain-f32 engine cannot solve this regime: the required dt ~ 1/mu sits
+    below the f32 stall floor 4*eps32*t, which force-accepts garbage; the
+    compensated time axis lowers that floor to ~2^-45 |t|."""
+    mu = 1000.0
+    vf, (u0, du0), _ = problems.van_der_pol(mu=mu)
+    save_at = np.asarray([0.0, 0.5, 1.0])  # before the first jump (t~0.8..3)
+    batch = 4
+    u0s = (jnp.full((batch, 1), 2.0, jnp.float32),
+           jnp.zeros((batch, 1), jnp.float32))
+    solve = batched_hi.make_hi_solver(
+        vf, (), save_at=save_at, dt0=0.01, engine="xla", lanes=4,
+        ode_order=2, correction="ts1", strategy="filter",
+    )
+    us, _uf, n = solve(u0s, np.full((batch,), 1e-3, np.float32))
+    u = batched_hi.combine64(us)[:, :, 0]
+    assert np.all(np.isfinite(u))
+
+    def f(_t, y):
+        return [y[1], mu * ((1 - y[0] ** 2) * y[1] - y[0])]
+
+    ref = scipy.integrate.solve_ivp(
+        f, y0=[2.0, 0.0], t_span=(0.0, 1.0), t_eval=save_at,
+        rtol=1e-10, atol=1e-10, method="LSODA",
+    ).y[0]
+    assert np.max(np.abs(u - ref[None, :])) < 1e-2, (u[0], ref)
+
+
+def test_ts1_hi_engine_matches_generic_dense_mu10():
+    """Non-chaotic regime (mu=10): hi-TS1 filter means equal the generic
+    dense-TS1 solver."""
+    from odecheckpts_tpu import ivpsolve, ivpsolvers, taylor
+
+    mu = 10.0
+    vf, (u0, du0), _ = problems.van_der_pol(mu=mu)
+    save_at = np.linspace(0.0, 2.0, 4)
+    batch = 4
+    u0s32 = (jnp.full((batch, 1), 2.0, jnp.float32),
+             jnp.zeros((batch, 1), jnp.float32))
+    tol = 1e-6
+    solve = batched_hi.make_hi_solver(
+        vf, (), save_at=save_at, dt0=0.01, engine="xla", lanes=4,
+        ode_order=2, correction="ts1", strategy="filter",
+    )
+    us, uf, n = solve(u0s32, np.full((batch,), tol, np.float32))
+    u = batched_hi.combine64(uf)[:, :, 0]
+
+    nu = 4
+    prior = ivpsolvers.prior_ibm(
+        num_derivatives=nu, ode_shape=(1,), implementation="dense"
+    )
+    strat = ivpsolvers.strategy_filter(
+        prior, ivpsolvers.correction_ts1(ode_order=2)
+    )
+    solver = ivpsolvers.solver_dynamic(strat)
+    tcoeffs = taylor.odejet_padded_scan(
+        lambda *y: vf(*y, t=0.0), (jnp.asarray([2.0]), jnp.asarray([0.0])),
+        num=nu - 1,
+    )
+    init = solver.initial_condition(tcoeffs, 1.0)
+    asolver = ivpsolve.adaptive(solver, atol=1e-3 * tol, rtol=tol)
+    sol = ivpsolve.solve_adaptive_save_at(
+        vf, init, save_at=jnp.asarray(save_at), dt0=0.01,
+        adaptive_solver=asolver,
+    )
+    np.testing.assert_allclose(u[0], np.asarray(sol.u)[:, 0], rtol=1e-4,
+                               atol=1e-6)
