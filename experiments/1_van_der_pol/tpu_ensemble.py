@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--mu-max", type=float, default=1000.0)
     ap.add_argument("--platform", default=os.environ.get("ODECKPT_PLATFORM"))
     ap.add_argument("--engine", default="pallas")
+    ap.add_argument("--error-unit", default="qoi", choices=["qoi", "residual"],
+                    help="qoi (default) tracks the solution unit and holds "
+                         "phase through the relaxation jumps; residual "
+                         "(exp-3 protocol) over-resolves transients but "
+                         "under-resolves the slow manifold here")
+    ap.add_argument("--out", default="data_tpu_ensemble.json")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -60,7 +66,8 @@ def main():
             solve = batched_hi.make_hi_solver(
                 vf, (), save_at=np.asarray(save_at), dt0=0.01,
                 engine=eng, ode_order=2, correction="ts1",
-                strategy="filter", lanes=1024 if eng == "pallas" else None,
+                strategy="filter", error_unit=args.error_unit,
+                lanes=1024 if eng == "pallas" else None,
             )
 
             def run(u, t, _s=solve):
@@ -71,7 +78,7 @@ def main():
                 lambda u, t, _vf=vf: batched.solve_save_at_batched(
                     _vf, u, (), save_at=save_at, dt0=0.01, tols=t,
                     engine=args.engine, ode_order=2, correction="ts1",
-                    strategy="filter",
+                    strategy="filter", error_unit=args.error_unit,
                     lanes=1024 if args.engine == "pallas" else None,
                 )
             )
@@ -86,6 +93,8 @@ def main():
         row = {
             "mu": float(mu),
             "tol": args.tol,
+            "engine": args.engine,
+            "error_unit": args.error_unit,
             "batch": args.batch,
             "seconds": round(el, 4),
             "solves_per_sec": round(args.batch / el, 1),
@@ -97,10 +106,9 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "data_tpu_ensemble.json")
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), args.out)
     with open(out, "w") as f:
-        json.dump({"engine": args.engine, "rows": rows}, f, indent=1)
+        json.dump({"rows": rows}, f, indent=1)
     print(f"wrote {out}")
 
 

@@ -143,7 +143,7 @@ def _matmul_ll(a, b, n):
 
 def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
                  calibration="dynamic", control=None, ode_order=1,
-                 correction="ts0"):
+                 correction="ts0", error_unit="qoi"):
     """Lanes-last adaptive attempt; pure jnp (usable inside a Pallas kernel).
 
     ``ode_order`` in {1, 2}: the TS0 residual observes derivative ``o``
@@ -165,6 +165,7 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
     o = ode_order
     n = nu + 1
     a_rows, lq_rows, lq_norms, inv_fact = _constants(nu)
+    max_lq = max(abs(c) for row in lq_rows for c in row)
     fixedpoint = strategy == "fixedpoint"
     needs_rev = strategy != "filter"
     sqrt_d = math.sqrt(1.0 * d)
@@ -249,7 +250,15 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
             zz = zz + _row(z, i) ** 2
             tol_acc = tol_acc + 1.0 / (atol + rtol * jnp.abs(_row(u_pred, i))) ** 2
         sigma = jnp.sqrt(zz) / (s_unit * sqrt_d)
-        err_u = sigma * (p[0] * lq_norms[0])  # (1, B)
+        if error_unit == "residual":
+            # exp-3's residual protocol: control on ||z|| itself.  Over-
+            # resolves fast transients; NOTE it under-resolves slow-manifold
+            # phases (stiff VdP loses oscillation phase in this mode --
+            # z ~ |u^(o)'s prediction error| is tiny there at any dt), so
+            # qoi stays the default.
+            err_u = sigma * s_unit  # = ||z|| / sqrt(d)
+        else:
+            err_u = sigma * (p[0] * lq_norms[0])  # (1, B)
         errn = err_u * jnp.sqrt(tol_acc / (1.0 * d))
 
         if calibration == "dynamic":
@@ -263,8 +272,12 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
         else:
             new_scale = scale
 
-        # -- extrapolate covariance (+ reversal) in preconditioned coords
-        l_bar = chol / p_arr[:, None, :]
+        # -- extrapolate covariance (+ reversal) in preconditioned coords.
+        # The clip keeps a pathological lane (giant accepted step followed by
+        # a collapse to dt_floor: (dt_prev/dt)^(nu+0.5) amplification) finite
+        # -- far beyond any physical factor, it only activates where inf/NaN
+        # would otherwise enter the QR.
+        l_bar = jnp.clip(chol / p_arr[:, None, :], -1e30, 1e30)
         a_l = _const_matmul(a_rows, l_bar)  # (n, n, B)
         lq = jnp.stack(
             [jnp.stack([jnp.full_like(dt[0], c) for c in row], axis=0) for row in lq_rows],
@@ -272,24 +285,45 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
         )  # (n, n, B) constant rows broadcast
         lq_scaled = new_scale[None, :, :] * lq
 
+        # per-lane magnitude normalization of the QR blocks: stiff dynamics
+        # (VdP mu=1e3) drive the dynamic scale to ~1e14 and l_bar to ~1e19+
+        # (the dt^-(nu+0.5) precondition), and the Householder reflections
+        # SQUARE the entries -- overflow to inf -> 0*inf = NaN in f32.  The
+        # gain (a triangular solve of two equally-scaled R blocks) and the
+        # correction ratio are invariant under jointly scaling the factor
+        # blocks, and l_pred just multiplies the constant back.
+        mag = new_scale * max_lq
+        for c in range(n):
+            mag = jnp.maximum(mag, jnp.max(jnp.abs(a_l[c]), axis=0, keepdims=True))
+            if needs_rev:
+                mag = jnp.maximum(
+                    mag, jnp.max(jnp.abs(l_bar[c]), axis=0, keepdims=True)
+                )
+        mag = jnp.maximum(mag, tiny_scale)
+        inv_mag = 1.0 / mag
+        a_l = a_l * inv_mag[None]
+        lq_scaled = lq_scaled * inv_mag[None]
+        magb = mag[None]  # (1, 1, B): broadcast onto (n, n, B) factors
+
         if needs_rev:
             # revert-QR input columns assembled from ROWS of the blocks:
             # X = [[ (A Lbar)^T, Lbar^T ], [ Lq^T, 0 ]] -> col c (c < n) is
             # [a_l[c]; lq_scaled[c]], col n+c is [l_bar[c]; 0].
+            l_bar_n = l_bar * inv_mag[None]
             zero_col = jnp.zeros_like(a_l[0])
             cols = [
                 jnp.concatenate([a_l[c], lq_scaled[c]], axis=0) for c in range(n)
             ] + [
-                jnp.concatenate([l_bar[c], zero_col], axis=0) for c in range(n)
+                jnp.concatenate([l_bar_n[c], zero_col], axis=0) for c in range(n)
             ]
             cols = _qr_r_cols(cols, 2 * n, 2 * n)
             r = jnp.stack(cols, axis=1)  # (2n, 2n, B), upper-tri in top rows
             r_yy = r[:n, :n, :]
             r_yx = r[:n, n:, :]
             r_xx = r[n:, n:, :]
-            l_pred_bar = jnp.swapaxes(r_yy, 0, 1)
+            l_pred_bar = jnp.swapaxes(r_yy, 0, 1) * magb
             g_bar = jnp.swapaxes(_tri_solve_upper_ll(r_yy, r_yx, n), 0, 1)
-            l_bwd_bar = jnp.swapaxes(r_xx, 0, 1)
+            l_bwd_bar = jnp.swapaxes(r_xx, 0, 1) * magb
             l_pred = p_arr[:, None, :] * l_pred_bar
             gain = p_arr[:, None, :] * g_bar / p_arr[None, :, :]
             bwd_L_step = p_arr[:, None, :] * l_bwd_bar
@@ -300,7 +334,7 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
             ]
             cols = _qr_r_cols(cols, 2 * n, n)
             r = jnp.stack(cols, axis=1)[:n]
-            l_pred = p_arr[:, None, :] * jnp.swapaxes(r, 0, 1)
+            l_pred = p_arr[:, None, :] * jnp.swapaxes(r, 0, 1) * magb
             gain = bwd_m_step = bwd_L_step = None
 
         # -- TS0/TS1 correction (rank-1 Potter update on the observation row)
@@ -308,16 +342,24 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
         for k in range(o):
             if ts1:
                 l_obs = l_obs - jacs[k] * _mid(l_pred, k, axis=0)
-        s2 = _row(l_obs, 0) ** 2
+        # normalize the observation row before squaring: TS1 Jacobians reach
+        # ~1e6 on stiff problems, so |l_obs| ~ |J| |l_pred| squares past f32
+        m2 = _row(jnp.abs(l_obs), 0)
         for i in range(1, n):
-            s2 = s2 + _row(l_obs, i) ** 2
+            m2 = jnp.maximum(m2, _row(jnp.abs(l_obs), i))
+        m2 = jnp.maximum(m2, tiny_scale)
+        l_obs_n = l_obs / m2
+        s2 = _row(l_obs_n, 0) ** 2
+        for i in range(1, n):
+            s2 = s2 + _row(l_obs_n, i) ** 2
         # tiny addend: a fully-cancelled innovation (H L == 0) must yield a
         # zero gain, not 0/0 (below one ulp of any physical s2)
         s2 = s2 + jnp.finfo(s2.dtype).tiny
-        crosscov = _matmul_ll(l_pred, l_obs[:, None, :], n)  # (n, 1, B)
-        g_corr = crosscov / s2[None, :, :]
+        crosscov = _matmul_ll(l_pred, l_obs_n[:, None, :], n)  # (n, 1, B)
+        gc = crosscov / s2[None, :, :]  # = g_corr * m2 (l_pred units)
+        g_corr = gc / m2[None]
         mean_cor = m_pred - g_corr * z[None, :, :]
-        chol_cor = l_pred - g_corr * l_obs[None, :, :]
+        chol_cor = l_pred - gc * l_obs_n[None, :, :]
 
         # -- fixedpoint accumulation
         if needs_rev:
@@ -325,11 +367,26 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
                 bwdG_new = _matmul_ll(bwdG, gain, n)
                 bwd_m_new = _matmul_ll(bwdG, bwd_m_step, n) + bwd_m
                 m1 = _matmul_ll(bwdG, bwd_L_step, n)
+                # same per-lane normalization as the extrapolation QR (the
+                # accumulated backward factor inherits the stiff magnitudes)
+                mag3 = tiny_scale
+                for c in range(n):
+                    mag3 = jnp.maximum(
+                        mag3, jnp.max(jnp.abs(m1[c]), axis=0, keepdims=True)
+                    )
+                    mag3 = jnp.maximum(
+                        mag3, jnp.max(jnp.abs(bwd_L[c]), axis=0, keepdims=True)
+                    )
+                inv3 = 1.0 / mag3
                 cols2 = [
-                    jnp.concatenate([m1[c], bwd_L[c]], axis=0) for c in range(n)
+                    jnp.concatenate([m1[c] * inv3, bwd_L[c] * inv3], axis=0)
+                    for c in range(n)
                 ]
                 cols2 = _qr_r_cols(cols2, 2 * n, n)
-                bwd_L_new = jnp.swapaxes(jnp.stack(cols2, axis=1)[:n], 0, 1)
+                bwd_L_new = (
+                    jnp.swapaxes(jnp.stack(cols2, axis=1)[:n], 0, 1)
+                    * mag3[None]
+                )
             else:
                 bwdG_new, bwd_m_new, bwd_L_new = gain, bwd_m_step, bwd_L_step
         else:
@@ -580,6 +637,7 @@ def solve_save_at_batched(
     hbm_budget="auto",
     ode_order=1,
     correction="ts0",
+    error_unit="qoi",
     max_attempts=100_000,
 ):
     """Batched fixed-memory adaptive solve, fused step kernel.
@@ -688,7 +746,7 @@ def solve_save_at_batched(
     # independent: ts0 strategies serve both fused corrections
     step_ll = make_step_ll(
         vfb, nu=nu, d=d, strategy=strategy, calibration=calibration,
-        ode_order=ode_order, correction=correction,
+        ode_order=ode_order, correction=correction, error_unit=error_unit,
     )
     if engine == "pallas":
         step_call = _pallas_step(step_ll, interpret=interpret, lanes=lane_width)

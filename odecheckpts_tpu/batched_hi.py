@@ -133,7 +133,8 @@ def _taylor_extrap_df(mean, dt, nu):
 
 
 def make_step_hi(vf_df, *, nu, d, strategy="fixedpoint", calibration="dynamic",
-                 control=None, ode_order=1, correction="ts0"):
+                 control=None, ode_order=1, correction="ts0",
+                 error_unit="qoi"):
     """Lanes-last adaptive attempt with df32 mean/time/residual channels.
 
     ``vf_df`` takes (args, t) where args is a tuple of ``ode_order``
@@ -148,6 +149,7 @@ def make_step_hi(vf_df, *, nu, d, strategy="fixedpoint", calibration="dynamic",
     o = ode_order
     n = nu + 1
     a_rows, lq_rows, lq_norms, inv_fact = _constants(nu)
+    max_lq = max(abs(c) for row in lq_rows for c in row)
     fixedpoint = strategy == "fixedpoint"
     sqrt_d = math.sqrt(1.0 * d)
     n1 = ctrl.power_integral / (nu + 1.0)
@@ -237,7 +239,10 @@ def make_step_hi(vf_df, *, nu, d, strategy="fixedpoint", calibration="dynamic",
             zz = zz + _row(z_hi, i) ** 2
             tol_acc = tol_acc + 1.0 / (atol + rtol * jnp.abs(_row(u_pred, i))) ** 2
         sigma = jnp.sqrt(zz) / (s_unit * sqrt_d)
-        err_u = sigma * (p[0] * lq_norms[0])
+        if error_unit == "residual":
+            err_u = sigma * s_unit  # exp-3 residual protocol, cf. batched
+        else:
+            err_u = sigma * (p[0] * lq_norms[0])
         errn = err_u * jnp.sqrt(tol_acc / (1.0 * d))
 
         if calibration == "dynamic":
@@ -249,27 +254,43 @@ def make_step_hi(vf_df, *, nu, d, strategy="fixedpoint", calibration="dynamic",
         else:
             new_scale = scale
 
-        # -- extrapolate covariance (f32, as in batched.make_step_ll)
-        l_bar = chol / pb
+        # -- extrapolate covariance (f32, as in batched.make_step_ll).
+        # Clip + per-lane magnitude normalization: see make_step_ll -- the
+        # stiff dynamic scale (~1e14) and the dt^-(nu+0.5) precondition push
+        # the QR inputs past sqrt(f32 max); every consumer of the R blocks
+        # is invariant under joint scaling, l_pred multiplies the max back.
+        l_bar = jnp.clip(chol / pb, -1e30, 1e30)
         a_l = _const_matmul(a_rows, l_bar)
         lq = jnp.stack(
             [jnp.stack([jnp.full_like(dt[0], c) for c in row], axis=0)
              for row in lq_rows],
             axis=0,
         )
-        lq_scaled = new_scale[None, :, :] * lq
+        mag = new_scale * max_lq
+        for c in range(n):
+            mag = jnp.maximum(mag, jnp.max(jnp.abs(a_l[c]), axis=0, keepdims=True))
+            if fixedpoint:
+                mag = jnp.maximum(
+                    mag, jnp.max(jnp.abs(l_bar[c]), axis=0, keepdims=True)
+                )
+        mag = jnp.maximum(mag, tiny_scale)
+        inv_mag = 1.0 / mag
+        a_l = a_l * inv_mag[None]
+        lq_scaled = (new_scale * inv_mag)[None, :, :] * lq
+        magb = mag[None]  # (1, 1, B)
 
         if fixedpoint:
+            l_bar_n = l_bar * inv_mag[None]
             zero_col = jnp.zeros_like(a_l[0])
             cols = [
                 jnp.concatenate([a_l[c], lq_scaled[c]], axis=0) for c in range(n)
             ] + [
-                jnp.concatenate([l_bar[c], zero_col], axis=0) for c in range(n)
+                jnp.concatenate([l_bar_n[c], zero_col], axis=0) for c in range(n)
             ]
             cols = _qr_r_cols_partial(cols, 2 * n, n)
             r_yy = jnp.stack([c[:n] for c in cols[:n]], axis=1)
             r_yx = jnp.stack([c[:n] for c in cols[n:]], axis=1)
-            l_pred = pb * jnp.swapaxes(r_yy, 0, 1)
+            l_pred = pb * jnp.swapaxes(r_yy, 0, 1) * magb
             g_bar = jnp.swapaxes(_tri_solve_upper_ll(r_yy, r_yx, n), 0, 1)
             gain = pb * g_bar / p_arr[None, :, :]
         else:
@@ -277,23 +298,34 @@ def make_step_hi(vf_df, *, nu, d, strategy="fixedpoint", calibration="dynamic",
                 jnp.concatenate([a_l[c], lq_scaled[c]], axis=0) for c in range(n)
             ]
             cols = _qr_r_cols_partial(cols, 2 * n, n)
-            l_pred = pb * jnp.swapaxes(jnp.stack([c[:n] for c in cols], axis=1), 0, 1)
+            l_pred = (
+                pb * jnp.swapaxes(jnp.stack([c[:n] for c in cols], axis=1), 0, 1)
+                * magb
+            )
             gain = None
 
-        # -- TS0/TS1 correction (rank-1 Potter update), mean in df32
+        # -- TS0/TS1 correction (rank-1 Potter update), mean in df32.
+        # Observation row normalized before squaring (stiff TS1 Jacobians
+        # ~1e6 push |l_obs|^2 past f32 max; the gain is scale-invariant).
         l_obs = _mid(l_pred, o, axis=0)  # (n, B)
         for k in range(o):
             if ts1:
                 l_obs = l_obs - jacs[k] * _mid(l_pred, k, axis=0)
-        s2 = _row(l_obs, 0) ** 2
+        m2 = _row(jnp.abs(l_obs), 0)
         for i in range(1, n):
-            s2 = s2 + _row(l_obs, i) ** 2
+            m2 = jnp.maximum(m2, _row(jnp.abs(l_obs), i))
+        m2 = jnp.maximum(m2, tiny_scale)
+        l_obs_n = l_obs / m2
+        s2 = _row(l_obs_n, 0) ** 2
+        for i in range(1, n):
+            s2 = s2 + _row(l_obs_n, i) ** 2
         s2 = s2 + jnp.finfo(s2.dtype).tiny  # cancelled innovation -> zero gain
-        crosscov = _matmul_ll(l_pred, l_obs[:, None, :], n)  # (n, 1, B)
-        g_corr = crosscov / s2[None, :, :]
+        crosscov = _matmul_ll(l_pred, l_obs_n[:, None, :], n)  # (n, 1, B)
+        gc = crosscov / s2[None, :, :]  # = g_corr * m2 (l_pred units)
+        g_corr = gc / m2[None]
         corr_term = df.mul1((z[0][None, :, :], z[1][None, :, :]), g_corr)
         mean_cor = df.sub(m_pred, corr_term)
-        chol_cor = l_pred - g_corr * l_obs[None, :, :]
+        chol_cor = l_pred - gc * l_obs_n[None, :, :]
 
         # -- fixedpoint accumulation, increment form (O(local error) terms)
         if fixedpoint:
@@ -426,6 +458,7 @@ def make_hi_solver(
     hbm_budget="auto",
     ode_order=1,
     correction="ts0",
+    error_unit="qoi",
     dtype=jnp.float32,
     shard_mesh=None,
     shard_axis="batch",
@@ -485,6 +518,7 @@ def make_hi_solver(
         step_ll = make_step_hi(
             vf_df_, nu=nu, d=d, strategy=strategy, calibration=calibration,
             control=control, ode_order=ode_order, correction=correction,
+            error_unit=error_unit,
         )
         lane_width = lanes or min(LANES * 8, max(LANES, bb))
         if engine == "pallas":

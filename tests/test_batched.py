@@ -42,6 +42,22 @@ def test_xla_engine_matches_generic_vmapped_solver(strategy):
     )
 
 
+def test_residual_error_unit_overresolves_and_agrees():
+    # fused-kernel mirror of tests/test_error_units.py: the residual unit
+    # (exp-3 protocol; the stiff-TS1 safeguard) must take more steps than
+    # the qoi unit and land on the same trajectory
+    vf, params, save_at, u0s, _ = _inputs()
+    tols = jnp.full((u0s.shape[0],), 1e-5, jnp.float64)
+    kw = dict(save_at=save_at, dt0=0.1, tols=tols, engine="xla")
+    u_q, _, n_q = batched.solve_save_at_batched(
+        vf, u0s, params, error_unit="qoi", **kw)
+    u_r, _, n_r = batched.solve_save_at_batched(
+        vf, u0s, params, error_unit="residual", **kw)
+    assert np.all(np.asarray(n_r[:, -1]) > np.asarray(n_q[:, -1]))
+    np.testing.assert_allclose(np.asarray(u_q), np.asarray(u_r),
+                               rtol=1e-3, atol=1e-6)
+
+
 def _inputs_order2(batch=8, dtype=jnp.float64, tspan_frac=0.3):
     """Three-body restricted (2nd-order) ensemble around the Arenstorf orbit
     (the reference's exp-5 workload, measure.py:159-176); a fraction of the
