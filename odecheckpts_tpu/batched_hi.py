@@ -150,6 +150,7 @@ def make_step_hi(vf_df, *, nu, d, strategy="fixedpoint", calibration="dynamic",
     n = nu + 1
     a_rows, lq_rows, lq_norms, inv_fact = _constants(nu)
     max_lq = max(abs(c) for row in lq_rows for c in row)
+    a_inf_norm = max(1.0, max(sum(abs(c) for c in row) for row in a_rows))
     fixedpoint = strategy == "fixedpoint"
     sqrt_d = math.sqrt(1.0 * d)
     n1 = ctrl.power_integral / (nu + 1.0)
@@ -260,7 +261,6 @@ def make_step_hi(vf_df, *, nu, d, strategy="fixedpoint", calibration="dynamic",
         # the QR inputs past sqrt(f32 max); every consumer of the R blocks
         # is invariant under joint scaling, l_pred multiplies the max back.
         l_bar = jnp.clip(chol / pb, -1e30, 1e30)
-        a_l = _const_matmul(a_rows, l_bar)
         lq = jnp.stack(
             [jnp.stack([jnp.full_like(dt[0], c) for c in row], axis=0)
              for row in lq_rows],
@@ -268,19 +268,15 @@ def make_step_hi(vf_df, *, nu, d, strategy="fixedpoint", calibration="dynamic",
         )
         mag = new_scale * max_lq
         for c in range(n):
-            mag = jnp.maximum(mag, jnp.max(jnp.abs(a_l[c]), axis=0, keepdims=True))
-            if fixedpoint:
-                mag = jnp.maximum(
-                    mag, jnp.max(jnp.abs(l_bar[c]), axis=0, keepdims=True)
-                )
-        mag = jnp.maximum(mag, tiny_scale)
+            mag = jnp.maximum(mag, jnp.max(jnp.abs(l_bar[c]), axis=0, keepdims=True))
+        mag = jnp.maximum(mag * a_inf_norm, tiny_scale)
         inv_mag = 1.0 / mag
-        a_l = a_l * inv_mag[None]
+        l_bar_n = l_bar * inv_mag[None]
+        a_l = _const_matmul(a_rows, l_bar_n)  # pre-normalized
         lq_scaled = (new_scale * inv_mag)[None, :, :] * lq
         magb = mag[None]  # (1, 1, B)
 
         if fixedpoint:
-            l_bar_n = l_bar * inv_mag[None]
             zero_col = jnp.zeros_like(a_l[0])
             cols = [
                 jnp.concatenate([a_l[c], lq_scaled[c]], axis=0) for c in range(n)

@@ -256,6 +256,7 @@ def test_ts1_fused_pallas_interpret_matches_xla():
     np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_x))
 
 
+@pytest.mark.slow
 def test_attempt_cap_bounds_the_while_loop():
     """The chip-hang guard: with a tiny cap the solve returns (truncated)
     instead of iterating forever; with the default cap results are

@@ -82,6 +82,7 @@ def _fixed_grid_setup(calib, num=160):
     return vf_p, init, grid, solver
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("calib", ["none", "dynamic"])
 def test_parallel_forward_filter_matches_sequential(calib):
     """Windowed associative-scan filter == sequential scan within sqrt-eps
@@ -101,6 +102,7 @@ def test_parallel_forward_filter_matches_sequential(calib):
     )
 
 
+@pytest.mark.slow
 def test_parallel_forward_filter_dense_ts1():
     """Dense TS1 (the VdP configuration).  The covariance-form combination
     floors at ~cond(Q(dt)) * eps, so the gate is looser than sqrt-eps for
@@ -140,6 +142,7 @@ def test_parallel_forward_filter_rejects_smoother():
         )
 
 
+@pytest.mark.slow
 def test_sqrt_form_matches_sequential_tighter_than_cov():
     """QR-element combination (arXiv:2502.11686-style): same fixed point as
     the covariance form, with the conditioning exponent halved -- in f64 it
@@ -156,6 +159,7 @@ def test_sqrt_form_matches_sequential_tighter_than_cov():
     )
 
 
+@pytest.mark.slow
 def test_sqrt_form_is_f32_viable():
     """The headline capability: in float32 the covariance form loses the
     combine to J ~ Q^-2 conditioning (~1e-3 error); sqrt elements stay at
