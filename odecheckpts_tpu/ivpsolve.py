@@ -572,11 +572,12 @@ def solve_fixed_grid(
     strategy the result carries the full backward MarkovSeq over the grid, as
     required for posterior sampling on a "tstops"-style grid.
 
-    ``parallel=True`` (filter strategy only): run the forward pass
-    parallel-in-time -- windows of ``window`` steps as associative scans
-    with ``iterations`` linearization sweeps each; ``form="sqrt"`` combines
-    square-root (QR) elements, the f32-viable variant; see
-    ``parallel_time.solve_fixed_grid_parallel``."""
+    ``parallel=True``: run the forward pass parallel-in-time -- windows of
+    ``window`` steps as associative scans with ``iterations`` linearization
+    sweeps each; reversal strategies (smoother/fixedpoint) get their
+    backward conditionals by a post-pass vmapped revert of the filtered
+    marginals.  ``form="sqrt"`` combines square-root (QR) elements, the
+    f32-viable variant; see ``parallel_time.solve_fixed_grid_parallel``."""
     if parallel:
         from . import parallel_time
 

@@ -292,13 +292,16 @@ def _adapters(ssm):
 def solve_fixed_grid_parallel(
     vf, init, *, grid, solver, iterations=8, window=16, form="cov"
 ):
-    """Fixed-grid filter solve, parallel-in-time within windows.
+    """Fixed-grid solve, parallel-in-time within windows.
 
-    Same semantics as ``ivpsolve.solve_fixed_grid`` with the filter strategy
-    (calibration "none" or "dynamic"); returns the same Solution layout
-    (posterior without backward conditionals).  See the module docstring for
-    the windowed iterated-linearization scheme; ``window`` steps run as one
-    associative scan, ``iterations`` sweeps per window re-linearize.
+    Same semantics as ``ivpsolve.solve_fixed_grid`` (calibration "none" or
+    "dynamic"); returns the same Solution layout.  The forward filter runs
+    as windowed associative scans (``window`` steps per scan, ``iterations``
+    re-linearization sweeps each); for reversal strategies (smoother /
+    fixedpoint) the per-step backward conditionals are then reverted from
+    the filtered marginals in one vmap -- independent given the marginals --
+    so the returned posterior supports the same (parallel) backward
+    marginalization and sampling as the sequential pass.
 
     ``form``: "cov" combines elements in covariance/information form (wants
     float64: J ~ Q(dt)^{-2} conditioning); "sqrt" combines QR factors
@@ -323,8 +326,6 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
     ssm = solver.ssm
     strategy = solver.strategy
     corr = strategy.correction
-    if strategy.needs_reversal:
-        raise NotImplementedError("parallel fixed-grid supports the filter strategy")
     if solver.calibration == _solvers.MLE:
         raise NotImplementedError("mle calibration is post-hoc; use none/dynamic")
     rv0, scale0 = init
@@ -458,13 +459,34 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
     )
     scales_full = jnp.concatenate([scale_none[None], scales])
 
+    if strategy.needs_reversal:
+        # smoother/fixedpoint parity: the sequential pass emits the backward
+        # conditional of each PREDICTION step, computed from the filtered
+        # state at t_{k-1} -- which the parallel filter just produced.  The
+        # reverts are independent given those marginals, so they run as one
+        # vmap after the scan (no sequential dependency to parallelize).
+        rvs_prev = jax.tree.map(lambda x: x[:-1], rvs)
+
+        def bwd_one(rv_prev, dt, scale):
+            m_pred, cache = ssm.extrapolate_mean(rv_prev.mean, dt)
+            _rv_pred, bwd = ssm.extrapolate_cov(rv_prev, m_pred, cache, scale, True)
+            return bwd
+
+        conds_rest = jax.vmap(bwd_one)(rvs_prev, dts, scales)
+        conds = jax.tree.map(
+            lambda i, c: jnp.concatenate([i[None], c]),
+            ssm.identity_conditional(dtype), conds_rest,
+        )
+    else:
+        conds = None
+
     return Solution(
         t=grid,
         u=ssm.qoi(rvs.mean),
         u_std=ssm.qoi_std(rvs),
         output_scale=scales_full,
         marginals=None,
-        posterior=MarkovSeq(rvs, None, ssm=ssm),
+        posterior=MarkovSeq(rvs, conds, ssm=ssm),
         num_steps=jnp.arange(len(grid), dtype=jnp.int32),
         ssm=ssm,
     )

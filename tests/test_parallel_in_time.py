@@ -222,3 +222,38 @@ def test_bad_form_rejected():
         ivpsolve.solve_fixed_grid(
             vf_p, init, grid=grid, solver=solver, parallel=True, form="qr"
         )
+
+
+def test_parallel_smoother_matches_sequential_through_backward_pass():
+    """Reversal strategies in the parallel fixed-grid pass: backward
+    conditionals reverted from the filtered marginals must reproduce the
+    sequential smoother's SMOOTHED marginals end to end."""
+    vf, u0s, tspan, params = problems.rigid_body()
+    vf_p = lambda u, *, t: vf(u, t=t, p=params)  # noqa: E731
+    nu = 3
+    prior = ivpsolvers.prior_ibm(num_derivatives=nu, ode_shape=(3,))
+    strat = ivpsolvers.strategy_smoother(prior, ivpsolvers.correction_ts0())
+    solver = ivpsolvers.solver_dynamic(strat)
+    tcoeffs = taylor.odejet_padded_scan(lambda u: vf_p(u, t=tspan[0]), u0s, num=nu)
+    init = solver.initial_condition(tcoeffs, 1.0)
+    grid = jnp.linspace(*tspan, num=48)
+
+    def smoothed(sol):
+        seq = stats.markov_select_terminal(sol.posterior)
+        margs = stats.markov_marginals(seq)
+        return margs.mean, jnp.einsum(
+            "...ij,...kj->...ik", margs.cholesky, margs.cholesky
+        )
+
+    m_seq, c_seq = smoothed(
+        ivpsolve.solve_fixed_grid(vf_p, init, grid=grid, solver=solver)
+    )
+    m_par, c_par = smoothed(
+        ivpsolve.solve_fixed_grid(
+            vf_p, init, grid=grid, solver=solver, parallel=True, iterations=20
+        )
+    )
+    np.testing.assert_allclose(np.asarray(m_par), np.asarray(m_seq),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(c_par), np.asarray(c_seq),
+                               rtol=1e-4, atol=1e-10)
