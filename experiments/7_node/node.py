@@ -135,6 +135,28 @@ def main(num_epochs=150, max_steps=128, loss_kind="lml"):
     print(f"final: train {losses[-1]:.4f}, test {test_final:.4f}")
     here = os.path.dirname(__file__)
     jnp.save(os.path.join(here, f"losses_{loss_kind}.npy"), jnp.asarray(losses))
+
+    # fitted trajectories for plot_node.py (reference old/7_node/plot_node.py
+    # renders data/truth/before/fit curves; same deliverable, our schema):
+    # one held-out initial condition rolled out on a dense grid with the
+    # trained vs untrained vector field
+    ts_dense = jnp.linspace(0.0, 3.0, num=120)
+    u0_plot = u0s_test[0]
+    roll = facade.solve_rk("dopri5", vf, jnp.zeros(d), ts_dense,
+                           dt0=0.1, atol=1e-8, rtol=1e-8)
+    roll_true = facade.solve_rk("dopri5", vf_true, jnp.zeros(d), ts_dense,
+                                dt0=0.1, atol=1e-10, rtol=1e-10)
+    p_fit, _ = unflatten(flat)
+    fits = {
+        "ts": ts_dense,
+        "truth": roll_true((u0_plot,), ())[0],
+        "before": roll((u0_plot,), params0)[0],
+        "after": roll((u0_plot,), p_fit)[0],
+        "data_ts": grid,
+        "data_ys": jnp.stack([solve_true((u0_plot,), ())[0]])[0],
+    }
+    jnp.save(os.path.join(here, f"fits_{loss_kind}.npy"), fits,
+             allow_pickle=True)
     assert losses[-1] < losses[0]
 
 
