@@ -849,11 +849,26 @@ def make_bucketed_solver(vf, params, *, save_at, dt0, num_buckets=4, **solve_kwa
         tols_np = np.asarray(tols)
         b = tols_np.shape[0]
         nb = max(1, min(num_buckets, b))
-        if b % nb:
-            raise ValueError(f"batch {b} not divisible into {nb} buckets")
-        order = np.argsort(tols_np, kind="stable")[::-1]  # loosest first
-        chunks = order.reshape(nb, b // nb)
         is_tuple = isinstance(u0s, tuple)
+        pad = (-b) % nb
+        if pad:
+            # pad with copies of the LOOSEST lane (cheapest extra
+            # iterations, and they sort into the loosest bucket); the pad
+            # lands at the tail of the original order and is sliced off
+            loosest = int(np.argmax(tols_np))
+
+            def rep(u):
+                return jnp.concatenate(
+                    [u, jnp.repeat(u[loosest : loosest + 1], pad, axis=0)]
+                )
+
+            u0s = tuple(rep(u) for u in u0s) if is_tuple else rep(u0s)
+            tols_np = np.concatenate(
+                [tols_np, np.full(pad, tols_np[loosest], tols_np.dtype)]
+            )
+        bp = b + pad
+        order = np.argsort(tols_np, kind="stable")[::-1]  # loosest first
+        chunks = order.reshape(nb, bp // nb)
 
         def take(idx):
             if is_tuple:
@@ -861,11 +876,11 @@ def make_bucketed_solver(vf, params, *, save_at, dt0, num_buckets=4, **solve_kwa
             return u0s[idx]
 
         outs = [run(take(idx), jnp.asarray(tols_np[idx])) for idx in chunks]
-        inv = np.empty(b, dtype=np.int64)
-        inv[np.concatenate(chunks)] = np.arange(b)
-        u_s = jnp.concatenate([o[0] for o in outs])[inv]
-        u_f = jnp.concatenate([o[1] for o in outs])[inv]
-        nsteps = jnp.concatenate([o[2] for o in outs])[inv]
+        inv = np.empty(bp, dtype=np.int64)
+        inv[np.concatenate(chunks)] = np.arange(bp)
+        u_s = jnp.concatenate([o[0] for o in outs])[inv][:b]
+        u_f = jnp.concatenate([o[1] for o in outs])[inv][:b]
+        nsteps = jnp.concatenate([o[2] for o in outs])[inv][:b]
         bucket_max_steps = [int(jnp.max(o[2][:, -1])) for o in outs]
         return (u_s, u_f, nsteps), bucket_max_steps
 

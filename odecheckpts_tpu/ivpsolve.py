@@ -562,7 +562,7 @@ def compact_bounded_solution(solution: Solution, valid) -> Solution:
 
 def solve_fixed_grid(
     vf, init, *, grid, solver, parallel=False, iterations=8, window=16,
-    form="cov",
+    form="cov", warmstart=None, damping=0.0,
 ):
     """Non-adaptive solve on a user grid (any strategy), one ``lax.scan``.
 
@@ -583,7 +583,7 @@ def solve_fixed_grid(
 
         return parallel_time.solve_fixed_grid_parallel(
             vf, init, grid=grid, solver=solver, iterations=iterations,
-            window=window, form=form,
+            window=window, form=form, warmstart=warmstart, damping=damping,
         )
     ssm = solver.ssm
     strategy = solver.strategy

@@ -289,8 +289,66 @@ def _adapters(ssm):
     return materialize, to_cols, from_cols, m_dim, c_dim
 
 
+def _warmstart_rk(vf, ssm, rv0_mean, grid, o, nu):
+    """Warm-start linearization for stiff problems: one sequential classical
+    RK4 mean sweep over the grid (vector-field evaluations only -- orders of
+    magnitude cheaper than the Kalman element combines that dominate the
+    parallel pass), then VMAPPED Taylor jets at every grid point rebuild the
+    full (nu+1)-row state stack.  Without it the windowed iteration starts
+    from a constant trajectory and, on stiff dynamics (VdP mu=1e3), converges
+    to a spurious fixed point of the linearize-filter map (ROADMAP round-2b
+    finding); started inside the true trajectory's basin it stays there."""
+    from . import taylor
+
+    y0 = tuple(ssm.select_deriv(rv0_mean, i) for i in range(o))
+
+    def f(y, t):
+        fu = vf(*y, t=t)
+        return y[1:] + (fu,)
+
+    def rk4_step(y, t_dt):
+        t_new, dt = t_dt
+        t = t_new - dt
+
+        def add(yy, k, c):
+            return tuple(yi + c * ki for yi, ki in zip(yy, k))
+
+        k1 = f(y, t)
+        k2 = f(add(y, k1, dt / 2), t + dt / 2)
+        k3 = f(add(y, k2, dt / 2), t + dt / 2)
+        k4 = f(add(y, k3, dt), t + dt)
+        y_new = tuple(
+            yi + dt / 6 * (a + 2 * b + 2 * c + d)
+            for yi, a, b, c, d in zip(y, k1, k2, k3, k4)
+        )
+        return y_new, y_new
+
+    ts, dts = grid[1:], jnp.diff(grid)
+    _, traj = jax.lax.scan(rk4_step, y0, (ts, dts))
+
+    # The converged linearization point is a PREDICTION l_k = Phi_k m_{k-1},
+    # not the solution at t_k: jets satisfy the ODE exactly, so seeding with
+    # on-trajectory jets zeroes every first-sweep residual and the dynamic
+    # calibration collapses to its floor (element J-blocks overflow).  Build
+    # the seed the way the iteration does: jet at the step's LEFT endpoint,
+    # extrapolated through the step.
+    traj_prev = tuple(
+        jnp.concatenate([y0i[None], ti[:-1]]) for y0i, ti in zip(y0, traj)
+    )
+
+    def jet_one(y, t, dt):
+        tc = taylor.odejet_padded_scan(
+            lambda *a: vf(*a, t=t), y, num=nu + 1 - o
+        )
+        m = ssm.stack_tcoeffs(tc).mean
+        return ssm.extrapolate_mean(m, dt)[0]
+
+    return jax.vmap(jet_one)(traj_prev, grid[:-1], dts)  # (T-1,) + mean shape
+
+
 def solve_fixed_grid_parallel(
-    vf, init, *, grid, solver, iterations=8, window=16, form="cov"
+    vf, init, *, grid, solver, iterations=8, window=16, form="cov",
+    warmstart=None, damping=0.0,
 ):
     """Fixed-grid solve, parallel-in-time within windows.
 
@@ -307,20 +365,29 @@ def solve_fixed_grid_parallel(
     float64: J ~ Q(dt)^{-2} conditioning); "sqrt" combines QR factors
     (arXiv:2502.11686-style), halving the conditioning exponent -- the
     float32-viable variant.
+
+    ``warmstart="rk"``: seed every window's linearization from a cheap
+    sequential RK4 mean sweep + vmapped Taylor jets (see ``_warmstart_rk``)
+    -- required for stiff dynamics, where the constant-trajectory start
+    converges to a spurious fixed point.  ``damping`` in [0, 1): fraction of
+    the previous linearization kept per sweep (0 = undamped), for dynamics
+    where the undamped iteration oscillates.
     """
     if form not in ("cov", "sqrt"):
         raise ValueError(f"form must be 'cov' or 'sqrt', got {form!r}")
+    if warmstart not in (None, "rk"):
+        raise ValueError(f"warmstart must be None or 'rk', got {warmstart!r}")
     # TPU matmul passes at default precision corrupt the element combines
     # (observed: NaN on-chip, bit-clean on CPU); force exact accumulation
     with jax.default_matmul_precision("highest"):
         return _solve_fixed_grid_parallel(
             vf, init, grid=grid, solver=solver, iterations=iterations,
-            window=window, form=form,
+            window=window, form=form, warmstart=warmstart, damping=damping,
         )
 
 
 def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
-                               form="cov"):
+                               form="cov", warmstart=None, damping=0.0):
     from .ivpsolve import Solution, _validate_increasing
 
     ssm = solver.ssm
@@ -348,6 +415,15 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
     ts_w = ts_p.reshape(num_w, w)
     dts_w = dts_p.reshape(num_w, w)
     valid_w = valid.reshape(num_w, w)
+
+    if warmstart == "rk":
+        lin_warm = _warmstart_rk(vf, ssm, rv0.mean, grid, o, ssm.n - 1)
+        lin_warm_p = jnp.concatenate(
+            [lin_warm, jnp.broadcast_to(lin_warm[-1], (pad,) + lin_warm.shape[1:])]
+        )
+        lin_warm_w = lin_warm_p.reshape((num_w, w) + lin_warm.shape[1:])
+    else:
+        lin_warm_w = None
 
     # covariance-form floor: J ~ 1/(scale^2 dt^(2(nu-o)+1)) must not overflow
     # through combinations.  The sqrt sequential path can clamp sigma at
@@ -404,7 +480,7 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
 
     def window_step(carry, inputs):
         m0c, p0 = carry  # p0: covariance ("cov") or its factor ("sqrt")
-        ts_k, dts_k, ok_k = inputs
+        ts_k, dts_k, ok_k = inputs[:3]
 
         def sweep(lin, _):
             els, scales, _sigmas = jax.vmap(element_one)(lin, ts_k, dts_k, ok_k)
@@ -420,13 +496,16 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
             lin_next = jax.vmap(lambda mm, dd: ssm.extrapolate_mean(mm, dd)[0])(
                 m_prev, dts_k
             )
+            if damping:
+                lin_next = damping * lin + (1.0 - damping) * lin_next
             return lin_next, (means, covs, scales)
 
-        # constant initial trajectory at the window-start mean: short windows
-        # keep the iteration inside its contraction region
-        lin0 = jnp.broadcast_to(
-            from_cols(m0c), (w,) + rv0.mean.shape
-        )
+        if warmstart is not None:
+            lin0 = inputs[3]
+        else:
+            # constant initial trajectory at the window-start mean: short
+            # windows keep the iteration inside its contraction region
+            lin0 = jnp.broadcast_to(from_cols(m0c), (w,) + rv0.mean.shape)
         lin_fin, _ = jax.lax.scan(sweep, lin0, None, length=max(iterations - 1, 1))
         _, (means, covs, scales) = sweep(lin_fin, None)
         # identity padding makes the last prefix equal the last VALID state
@@ -438,8 +517,13 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
     p0_init = (
         rv0.cholesky @ rv0.cholesky.T if form == "cov" else rv0.cholesky
     )
+    scan_inputs = (
+        (ts_w, dts_w, valid_w)
+        if lin_warm_w is None
+        else (ts_w, dts_w, valid_w, lin_warm_w)
+    )
     _, (means_w, covs_w, scales_w) = jax.lax.scan(
-        window_step, (to_cols(rv0.mean), p0_init), (ts_w, dts_w, valid_w)
+        window_step, (to_cols(rv0.mean), p0_init), scan_inputs
     )
     means = means_w.reshape((num_w * w,) + rv0.mean.shape)[:t1]
     covs = covs_w.reshape(num_w * w, m_dim, m_dim)[:t1]

@@ -273,3 +273,24 @@ def test_attempt_cap_bounds_the_while_loop():
         vf, u0s, params, max_attempts=100_000, **kw
     )
     np.testing.assert_array_equal(np.asarray(u_default), np.asarray(u_full))
+
+
+def test_bucketed_solve_pads_non_divisible_batches():
+    """Runtime tolerance mixes rarely split evenly (the routed driver's f32
+    band is data-dependent): padding with the loosest lane must keep per-lane
+    results identical to the unbucketed solve."""
+    vf, (u0,), tspan, params = problems.rigid_body(time_span=(0.0, 20.0))
+    save_at = jnp.linspace(0.0, 20.0, num=4)
+    b = 14  # not divisible by 4
+    key = jax.random.PRNGKey(2)
+    u0s = u0[None] * (1.0 + 0.02 * jax.random.normal(key, (b, 3)))
+    tols = jnp.asarray(np.geomspace(1e-2, 1e-6, b))
+    kw = dict(save_at=save_at, dt0=0.1, engine="xla")
+    u_ref, _uf, n_ref = jax.jit(
+        lambda u, t: batched.solve_save_at_batched(vf, u, params, tols=t, **kw)
+    )(u0s, tols)
+    (u_b, _ufb, n_b), _bm = batched.solve_save_at_bucketed(
+        vf, u0s, params, tols=tols, num_buckets=4, **kw
+    )
+    np.testing.assert_allclose(np.asarray(u_b), np.asarray(u_ref), rtol=1e-9)
+    np.testing.assert_array_equal(np.asarray(n_b), np.asarray(n_ref))
