@@ -115,8 +115,19 @@ def main():
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "data_routed.json")
+    # keep one row per batch size (the routed-vs-single crossover sits at
+    # the lane-saturation batch, so both sides of it are worth retaining)
+    try:
+        with open(out) as f:
+            data = json.load(f)
+        rows = [r for r in data.get("rows", []) if r.get("batch") != args.batch]
+        note = data.get("note", "")
+    except (OSError, ValueError):
+        rows, note = [], ""
+    rows.append({"batch": args.batch, **results})
+    rows.sort(key=lambda r: r["batch"])
     with open(out, "w") as f:
-        json.dump({"batch": args.batch, **results}, f, indent=1)
+        json.dump({"rows": rows, "note": note}, f, indent=1)
     print(f"wrote {out}")
 
 
