@@ -42,6 +42,7 @@ def test_xla_engine_matches_generic_vmapped_solver(strategy):
     )
 
 
+@pytest.mark.slow
 def test_residual_error_unit_overresolves_and_agrees():
     # fused-kernel mirror of tests/test_error_units.py: the residual unit
     # (exp-3 protocol; the stiff-TS1 safeguard) must take more steps than

@@ -150,6 +150,7 @@ def test_mixed_tolerances_in_one_batch():
     assert np.all(n_final[1::2] > 3 * n_final[0::2])  # and many more steps
 
 
+@pytest.mark.slow
 def test_routed_solver_meets_per_lane_accuracy_across_nine_decades():
     """Precision routing: one mixed rtol 1e-1..1e-9 ensemble, every lane
     within 10x its own tolerance (f32 lanes via bucketing, df32 below the

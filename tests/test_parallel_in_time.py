@@ -131,14 +131,12 @@ def test_parallel_forward_filter_dense_ts1():
     assert np.all(np.isfinite(np.asarray(sol_par.u_std)))
 
 
-def test_parallel_forward_filter_rejects_smoother():
-    vf_p, init, grid, _ = _fixed_grid_setup("none")
-    prior = ivpsolvers.prior_ibm(num_derivatives=3, ode_shape=(3,))
-    strat = ivpsolvers.strategy_smoother(prior, ivpsolvers.correction_ts0())
-    solver = ivpsolvers.solver(strat)
-    with pytest.raises(NotImplementedError, match="filter"):
+def test_parallel_rejects_bad_warmstart():
+    vf_p, init, grid, solver = _fixed_grid_setup("none")
+    with pytest.raises(ValueError, match="warmstart"):
         ivpsolve.solve_fixed_grid(
-            vf_p, init, grid=grid, solver=solver, parallel=True
+            vf_p, init, grid=grid, solver=solver, parallel=True,
+            warmstart="euler",
         )
 
 
@@ -224,6 +222,7 @@ def test_bad_form_rejected():
         )
 
 
+@pytest.mark.slow
 def test_parallel_smoother_matches_sequential_through_backward_pass():
     """Reversal strategies in the parallel fixed-grid pass: backward
     conditionals reverted from the filtered marginals must reproduce the
@@ -259,6 +258,7 @@ def test_parallel_smoother_matches_sequential_through_backward_pass():
                                rtol=1e-4, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_rk_warmstart_accelerates_convergence():
     """Prediction-consistent RK4+jet seeding: at iterations=3 the warm pass
     matches the sequential filter ~2000x tighter than the cold start (whose
