@@ -107,7 +107,7 @@ def _sweep(dtype, rtols, batch, engine, *, sample, trace_dir=None):
     # truth must match the dtype-cast initial conditions actually solved
     truth = _truth_rows(np.asarray(u0s[:sample], np.float64), save_at_np)
 
-    lanes = 1024 if engine == "pallas" else None
+    lanes = 1024 if engine.startswith("pallas") else None
     solve = _make_solver(vf, params, save_at, engine, lanes)
 
     rows = []
@@ -176,7 +176,7 @@ def _sweep_hi(rtols, batch, *, sample, engine="pallas"):
     solve = batched_hi.make_hi_solver(
         vf, params, save_at=save_at_np, dt0=0.1,
         vf_df=problems.rigid_body_df(params), engine=engine,
-        lanes=1024 if engine == "pallas" else None,
+        lanes=1024 if engine.startswith("pallas") else None,
     )
     rows = []
     for rtol in rtols:
@@ -253,14 +253,16 @@ def main():
     trace_dir = os.environ.get("ODECKPT_BENCH_TRACE_DIR", "/tmp/odeckpt_trace")
 
     rows = []
-    # f32, loose-to-mid tolerances: fused Pallas kernel (fallback: same
-    # lanes-last step under XLA)
-    try:
-        rows += _sweep(jnp.float32, SWEEP_F32, batch32, "pallas",
-                       sample=sample, trace_dir=trace_dir)
-    except Exception as e:
-        print(f"# pallas f32 failed ({e!r}); XLA fallback", file=sys.stderr)
-        rows += _sweep(jnp.float32, SWEEP_F32, batch32, "xla", sample=sample)
+    # f32, loose-to-mid tolerances: fused Pallas kernel with the whole
+    # accept/reject loop in-kernel (fallbacks: per-attempt Pallas, then the
+    # same lanes-last step under XLA)
+    for eng in ("pallas-loop", "pallas", "xla"):
+        try:
+            rows += _sweep(jnp.float32, SWEEP_F32, batch32, eng,
+                           sample=sample, trace_dir=trace_dir)
+            break
+        except Exception as e:
+            print(f"# {eng} f32 failed ({e!r}); falling back", file=sys.stderr)
 
     # engine equivalence gate, f32 -- MUST run before x64 is enabled: with
     # x64 on, weak Python literals in the kernel promote to f64 and Mosaic's
@@ -274,12 +276,17 @@ def main():
     # tight tolerances: compensated double-f32 pairs in the fused Pallas
     # kernel (no 64-bit types anywhere on the device)
     try:
-        try:
-            rows += _sweep_hi(SWEEP_F64, batch32, sample=sample)
-        except Exception as e:
-            print(f"# df32 pallas failed ({e!r}); df32 XLA fallback",
-                  file=sys.stderr)
-            rows += _sweep_hi(SWEEP_F64, batch32, sample=sample, engine="xla")
+        done = False
+        for eng in ("pallas-loop", "pallas", "xla"):
+            try:
+                rows += _sweep_hi(SWEEP_F64, batch32, sample=sample, engine=eng)
+                done = True
+                break
+            except Exception as e:
+                print(f"# df32 {eng} failed ({e!r}); falling back",
+                      file=sys.stderr)
+        if not done:
+            raise RuntimeError("all df32 engines failed")
     except Exception as e:
         # last resort: float64 under XLA's x64 emulation (slow but correct)
         print(f"# df32 sweep failed entirely ({e!r}); f64 fallback",

@@ -9,6 +9,8 @@ the body fragments into ~100 tiny XLA kernels whose launch overhead dominates
 
 * directly under XLA (``engine="xla"``; the correctness yardstick), or
 * as a single Pallas (Mosaic) kernel per while-iteration (``engine="pallas"``),
+* or with the whole per-checkpoint accept/reject loop inside one kernel
+  (``engine="pallas-loop"``: VMEM-resident state, per-tile early exit),
   collapsing the launch overhead.
 
 All IBM system constants (the Pascal transition, the Hilbert-type noise
@@ -486,6 +488,74 @@ def _pallas_step(step_fn, interpret=False, lanes=LANES, num_state=NUM_STATE):
     return call
 
 
+def _pallas_interval(step_fn, interpret=False, lanes=LANES,
+                     num_state=NUM_STATE, max_attempts=100_000):
+    """One kernel per CHECKPOINT INTERVAL: the accept/reject while loop runs
+    INSIDE the kernel.
+
+    Versus the per-attempt wrapper (:func:`_pallas_step` under an XLA
+    ``while_loop``), the state tuple stays in VMEM across attempts -- no
+    per-attempt kernel launch and no HBM round trip of the ~NUM_STATE
+    lanes-last arrays -- and each lane TILE exits as soon as its own lanes
+    reach ``t_next`` (the per-attempt wrapper iterates every tile until the
+    globally slowest lane finishes).  Lanes already at the checkpoint are
+    frozen inside ``step_fn``, so results are identical to the XLA-loop
+    engine; the attempt cap is the same per-tile chip-hang guard.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(*refs):
+        n_in = num_state + 6
+        ins = [r[...] for r in refs[:n_in]]
+        state = tuple(ins[:num_state])
+        t_next, atol, rtol, dt_max, dt_floor, tiny_scale = ins[num_state:]
+
+        def cond(carry):
+            s, k = carry
+            return jnp.any(s[0] < t_next) & (k < max_attempts)
+
+        def body(carry):
+            s, k = carry
+            s2 = step_fn(s, t_next, atol, rtol, dt_max, dt_floor, tiny_scale)
+            return s2, k + 1
+
+        final, _ = jax.lax.while_loop(
+            cond, body, (state, jnp.zeros((), jnp.int32))
+        )
+        for r, o in zip(refs[n_in:], final):
+            r[...] = o
+
+    def call(state, t_next, atol, rtol, dt_max, dt_floor, tiny_scale):
+        b = state[0].shape[-1]
+        grid = (b // lanes,)
+
+        def spec(arr):
+            nd = arr.ndim
+            block = arr.shape[:-1] + (lanes,)
+            idx = {
+                2: lambda i: (0, i),
+                3: lambda i: (0, 0, i),
+            }[nd]
+            return pl.BlockSpec(block, idx, memory_space=pltpu.VMEM)
+
+        operands = list(state) + [t_next, atol, rtol, dt_max, dt_floor, tiny_scale]
+        out_shape = [jax.ShapeDtypeStruct(s.shape, s.dtype) for s in state]
+        out_specs = [spec(s) for s in state]
+        return tuple(
+            pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[spec(x) for x in operands],
+                out_specs=out_specs,
+                out_shape=out_shape,
+                interpret=interpret,
+            )(*operands)
+        )
+
+    return call
+
+
 def _state_to_generic(state, needs_rev):
     """Lanes-last tuple -> vmapped generic _State (leading batch axis)."""
 
@@ -746,9 +816,19 @@ def solve_save_at_batched(
         vfb, nu=nu, d=d, strategy=strategy, calibration=calibration,
         ode_order=ode_order, correction=correction, error_unit=error_unit,
     )
-    if engine == "pallas":
+    if engine == "pallas-loop":
+        # whole accept/reject loop inside the kernel: VMEM-resident state,
+        # per-tile early exit (see _pallas_interval)
+        interval_call = _pallas_interval(
+            step_ll, interpret=interpret, lanes=lane_width,
+            max_attempts=max_attempts,
+        )
+        step_call = None
+    elif engine == "pallas":
+        interval_call = None
         step_call = _pallas_step(step_ll, interpret=interpret, lanes=lane_width)
     else:
+        interval_call = None
         step_call = step_ll
 
     atol = (atol_factor * tols)[None, :].astype(dtype)
@@ -764,18 +844,25 @@ def solve_save_at_batched(
     def per_checkpoint(state, t_next):
         t_next_v = jnp.full((1, bb), t_next, dtype)
 
-        def cond(carry):
-            s, k = carry
-            return jnp.any(s[0] < t_next) & (k < max_attempts)
+        if interval_call is not None:
+            state = interval_call(
+                state, t_next_v, atol, rtol, dt_max_v, dt_floor_v, tiny_v
+            )
+        else:
+            def cond(carry):
+                s, k = carry
+                return jnp.any(s[0] < t_next) & (k < max_attempts)
 
-        def body(carry):
-            s, k = carry
-            s2 = step_call(s, t_next_v, atol, rtol, dt_max_v, dt_floor_v, tiny_v)
-            return s2, k + 1
+            def body(carry):
+                s, k = carry
+                s2 = step_call(
+                    s, t_next_v, atol, rtol, dt_max_v, dt_floor_v, tiny_v
+                )
+                return s2, k + 1
 
-        state, _ = jax.lax.while_loop(
-            cond, body, (state, jnp.zeros((), jnp.int32))
-        )
+            state, _ = jax.lax.while_loop(
+                cond, body, (state, jnp.zeros((), jnp.int32))
+            )
         gen = _state_to_generic(state, needs_rev)
         (rv_e, cond_e), gen2 = interp_v(gen, t_next)
         state2 = _generic_to_state(gen2, needs_rev, dtype)

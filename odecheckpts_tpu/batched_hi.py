@@ -49,6 +49,7 @@ from .batched import (
     _constants,
     _matmul_ll,
     _mid,
+    _pallas_interval,
     _pallas_step,
     _tri_solve_upper_ll,
     check_hbm_budget,
@@ -517,12 +518,20 @@ def make_hi_solver(
             error_unit=error_unit,
         )
         lane_width = lanes or min(LANES * 8, max(LANES, bb))
-        if engine == "pallas":
+        if engine == "pallas-loop":
+            interval_call = _pallas_interval(
+                step_ll, interpret=interpret, lanes=lane_width,
+                num_state=NUM_STATE_HI, max_attempts=max_attempts,
+            )
+            step_call = None
+        elif engine == "pallas":
+            interval_call = None
             step_call = _pallas_step(
                 step_ll, interpret=interpret, lanes=lane_width,
                 num_state=NUM_STATE_HI,
             )
         else:
+            interval_call = None
             step_call = step_ll
 
         atol = (atol_factor * tols)[None, :].astype(dtype)
@@ -536,21 +545,26 @@ def make_hi_solver(
         def per_checkpoint(state, t_next):
             t_next_v = jnp.full((1, bb), t_next, dtype)
 
-            def cond(carry):
-                s, k = carry
-                return jnp.any(s[0] < t_next) & (k < max_attempts)
-
-            def body(carry):
-                s, k = carry
-                s2 = step_call(
-                    s, t_next_v, atol, rtol, dt_max_v, dt_floor_v, tiny_v
+            if interval_call is not None:
+                state = interval_call(
+                    state, t_next_v, atol, rtol, dt_max_v, dt_floor_v, tiny_v
                 )
-                return s2, k + 1
+            else:
+                def cond(carry):
+                    s, k = carry
+                    return jnp.any(s[0] < t_next) & (k < max_attempts)
 
-            # attempt cap = chip-hang guard (see batched.solve_save_at_batched)
-            state, _ = jax.lax.while_loop(
-                cond, body, (state, jnp.zeros((), jnp.int32))
-            )
+                def body(carry):
+                    s, k = carry
+                    s2 = step_call(
+                        s, t_next_v, atol, rtol, dt_max_v, dt_floor_v, tiny_v
+                    )
+                    return s2, k + 1
+
+                # attempt cap = chip-hang guard (cf. solve_save_at_batched)
+                state, _ = jax.lax.while_loop(
+                    cond, body, (state, jnp.zeros((), jnp.int32))
+                )
             (t_hi, t_lo, mean_hi, mean_lo, chol, scale,
              g_acc, msp_hi, msp_lo, dt_st, errn_prev, nsteps) = state
             emit = (mean_hi, mean_lo, msp_hi, msp_lo, g_acc, nsteps)

@@ -295,3 +295,19 @@ def test_bucketed_solve_pads_non_divisible_batches():
     )
     np.testing.assert_allclose(np.asarray(u_b), np.asarray(u_ref), rtol=1e-9)
     np.testing.assert_array_equal(np.asarray(n_b), np.asarray(n_ref))
+
+
+def test_pallas_loop_interpret_matches_xla_engine():
+    """engine="pallas-loop" (whole accept/reject loop inside the kernel):
+    bit-identical step sequences to the per-attempt engines -- lanes at the
+    checkpoint are frozen, so per-tile early exit cannot change results."""
+    vf, params, save_at, u0s, tols = _inputs(dtype=jnp.float32)
+    kw = dict(save_at=save_at, dt0=0.1, tols=tols)
+    u_x, _, n_x = batched.solve_save_at_batched(
+        vf, u0s, params, engine="xla", **kw
+    )
+    u_p, _, n_p = batched.solve_save_at_batched(
+        vf, u0s, params, engine="pallas-loop", interpret=True, **kw
+    )
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), rtol=2e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_x))

@@ -250,3 +250,26 @@ def test_ts1_hi_engine_matches_generic_dense_mu10():
     )
     np.testing.assert_allclose(u[0], np.asarray(sol.u)[:, 0], rtol=1e-4,
                                atol=1e-6)
+
+
+def test_hi_pallas_loop_interpret_matches_xla_engine():
+    """df32 engine="pallas-loop": same results as the per-attempt engines."""
+    vf, (u0,), tspan, params = problems.rigid_body(time_span=(0.0, 5.0))
+    save_at = np.linspace(0.0, 5.0, 3)
+    b = 8
+    key = jax.random.PRNGKey(0)
+    u0s = jnp.asarray(
+        np.asarray(u0)[None]
+        * (1.0 + 0.01 * np.asarray(jax.random.normal(key, (b, 3)))),
+        jnp.float32,
+    )
+    tols = np.full((b,), 1e-6, np.float32)
+    kw = dict(save_at=save_at, dt0=0.1)
+    us_x, _, n_x = batched_hi.make_hi_solver(vf, params, engine="xla", **kw)(u0s, tols)
+    us_p, _, n_p = batched_hi.make_hi_solver(
+        vf, params, engine="pallas-loop", interpret=True, **kw
+    )(u0s, tols)
+    np.testing.assert_allclose(
+        np.asarray(us_p[0]), np.asarray(us_x[0]), rtol=2e-6, atol=1e-8
+    )
+    np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_x))
