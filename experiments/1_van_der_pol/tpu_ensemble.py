@@ -62,7 +62,9 @@ def main():
             # df32 pair engine: its compensated time axis resolves the
             # dt ~ 1/mu steps that sit below the plain-f32 stall floor at
             # mu ~ 1e3 (pallas unless "hi-xla")
-            eng = "xla" if args.engine == "hi-xla" else "pallas"
+            eng = {"hi-xla": "xla", "hi-loop": "pallas-loop"}.get(
+                args.engine, "pallas"
+            )
             solve = batched_hi.make_hi_solver(
                 vf, (), save_at=np.asarray(save_at), dt0=0.01,
                 engine=eng, ode_order=2, correction="ts1",
