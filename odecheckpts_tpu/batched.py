@@ -920,6 +920,14 @@ def make_bucketed_solver(vf, params, *, save_at, dt0, num_buckets=4, **solve_kwa
     buckets share ONE jitted program (equal shapes), held by the returned
     closure so repeated calls neither re-trace nor re-compile.
 
+    With ``engine="pallas-loop"`` the kernel itself exits per lane TILE, so
+    ``num_buckets=1`` (sort only, one launch) already gets tile-granular
+    bucketing for free -- measured on a 32k log-uniform rtol 1e-5..1e-1
+    mix on one v5e: sorted+loop 103.6k solves/s (108.6k at lanes=512) vs
+    95.7k unsorted vs 83.2k on the per-attempt engine.  Use explicit
+    ``num_buckets > 1`` mainly for the XLA/per-attempt engines, whose
+    while loop is global.
+
     Returns ``solve(u0s, tols) -> ((u_s, u_f, nsteps), bucket_max_steps)``;
     ``tols`` must be concrete (host values).  Per-lane results equal the
     (jitted) unbucketed solve: lanes are mask-isolated.
