@@ -147,26 +147,45 @@ def pleiades_1st():
     return vf, (jnp.concatenate([u0, du0]),), tspan, ()
 
 
-def brusselator(N, t0=0.0, tmax=10.0):
+def brusselator(N, t0=0.0, tmax=10.0, laplacian="convolve"):
     """Brusselator method-of-lines PDE; state dim 2N (scalable benchmark).
 
     Same discretization/boundary scheme as the MATLAB stiff-ODE example the
     reference cites; banded Laplacian applied via ``jnp.convolve``
-    (reference: ivps.py:124-156)."""
+    (reference: ivps.py:124-156).  ``laplacian="slices"`` computes the same
+    band by axis-0 slicing instead: mathematically identical (the [1,-2,1]
+    kernel is symmetric), broadcasts over trailing lane axes, and contains
+    only ops Mosaic lowers -- the form the fused lanes-last TPU engines
+    need (jnp.convolve does not lower inside Pallas kernels)."""
     alpha = 1.0 / 50.0
     const = alpha * (N + 1) ** 2
     weights = jnp.asarray([1.0, -2.0, 1.0])
 
-    def vf(y, *, t=None, p=(), n=N, w=weights, c=const):
-        u, v = y[:n], y[n:]
-        u_ = jnp.concatenate([jnp.ones((1,), y.dtype), u, jnp.ones((1,), y.dtype)])
-        v_pad = jnp.full((1,), 3.0, y.dtype)
-        v_ = jnp.concatenate([v_pad, v, v_pad])
-        conv_u = jnp.convolve(u_, w, mode="valid")
-        conv_v = jnp.convolve(v_, w, mode="valid")
-        u_new = 1.0 + u**2 * v - 4.0 * u + c * conv_u
-        v_new = 3.0 * u - u**2 * v + c * conv_v
-        return jnp.concatenate([u_new, v_new])
+    if laplacian == "slices":
+
+        def vf(y, *, t=None, p=(), n=N, c=const):
+            u, v = y[:n], y[n:]
+            ones = jnp.ones_like(u[:1])
+            u_ = jnp.concatenate([ones, u, ones], axis=0)
+            v_ = jnp.concatenate([3.0 * ones, v, 3.0 * ones], axis=0)
+            conv_u = u_[:-2] - 2.0 * u_[1:-1] + u_[2:]
+            conv_v = v_[:-2] - 2.0 * v_[1:-1] + v_[2:]
+            u_new = 1.0 + u**2 * v - 4.0 * u + c * conv_u
+            v_new = 3.0 * u - u**2 * v + c * conv_v
+            return jnp.concatenate([u_new, v_new])
+
+    else:
+
+        def vf(y, *, t=None, p=(), n=N, w=weights, c=const):
+            u, v = y[:n], y[n:]
+            u_ = jnp.concatenate([jnp.ones((1,), y.dtype), u, jnp.ones((1,), y.dtype)])
+            v_pad = jnp.full((1,), 3.0, y.dtype)
+            v_ = jnp.concatenate([v_pad, v, v_pad])
+            conv_u = jnp.convolve(u_, w, mode="valid")
+            conv_v = jnp.convolve(v_, w, mode="valid")
+            u_new = 1.0 + u**2 * v - 4.0 * u + c * conv_u
+            v_new = 3.0 * u - u**2 * v + c * conv_v
+            return jnp.concatenate([u_new, v_new])
 
     x0 = jnp.linspace(0, 1, num=N)
     u0 = jnp.sin(2.0 * jnp.pi * x0) + 1.0
