@@ -118,8 +118,17 @@ def main():
     print(json.dumps(row), flush=True)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "data_batched_tpu.json")
+    # one row per (N, tol, engine, batch) configuration
+    try:
+        with open(out) as f:
+            rows = json.load(f).get("rows", [])
+    except (OSError, ValueError):
+        rows = []
+    keyf = lambda r: (r["N"], r["tol"], r["engine"], r["batch"])  # noqa: E731
+    rows = [r for r in rows if keyf(r) != keyf(row)] + [row]
+    rows.sort(key=keyf)
     with open(out, "w") as f:
-        json.dump(row, f, indent=1)
+        json.dump({"rows": rows}, f, indent=1)
     print(f"wrote {out}")
 
 
