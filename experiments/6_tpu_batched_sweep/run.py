@@ -32,7 +32,8 @@ from odecheckpts_tpu import parallel, problems  # noqa: E402
 REFERENCE = {1e-1: 0.0145, 1e-3: 0.0185}
 
 
-def main(batch=1024, use_mesh=False, dtype=jnp.float32, engine="fused"):
+def main(batch=1024, use_mesh=False, dtype=jnp.float32, engine="fused",
+         fused_engine="pallas-loop"):
     vf, (u0,), tspan, params = problems.rigid_body()
     u0 = u0.astype(dtype)
     save_at = jnp.linspace(*tspan, num=5, dtype=dtype)
@@ -42,7 +43,8 @@ def main(batch=1024, use_mesh=False, dtype=jnp.float32, engine="fused"):
 
         def solve_batch(u0s_tuple, p, tols):
             u_s, _u_f, nsteps = batched_mod.solve_save_at_batched(
-                vf, u0s_tuple[0], p, save_at=save_at, dt0=0.1, tols=tols
+                vf, u0s_tuple[0], p, save_at=save_at, dt0=0.1, tols=tols,
+                engine=fused_engine,
             )
             return u_s, nsteps[:, -1]
 
@@ -101,6 +103,8 @@ if __name__ == "__main__":
     p.add_argument("--mesh", action="store_true")
     p.add_argument("--f64", action="store_true")
     p.add_argument("--engine", choices=["fused", "generic"], default="fused")
+    p.add_argument("--fused-engine", default="pallas-loop",
+                   choices=["pallas-loop", "pallas", "xla"])
     a = p.parse_args()
     if a.f64:
         jax.config.update("jax_enable_x64", True)
@@ -109,4 +113,5 @@ if __name__ == "__main__":
         use_mesh=a.mesh,
         dtype=jnp.float64 if a.f64 else jnp.float32,
         engine=a.engine,
+        fused_engine=a.fused_engine,
     )
