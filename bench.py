@@ -107,7 +107,7 @@ def _sweep(dtype, rtols, batch, engine, *, sample, trace_dir=None):
     # truth must match the dtype-cast initial conditions actually solved
     truth = _truth_rows(np.asarray(u0s[:sample], np.float64), save_at_np)
 
-    lanes = 1024 if engine.startswith("pallas") else None
+    lanes = 512 if engine.startswith("pallas") else None
     solve = _make_solver(vf, params, save_at, engine, lanes)
 
     rows = []
@@ -176,7 +176,7 @@ def _sweep_hi(rtols, batch, *, sample, engine="pallas"):
     solve = batched_hi.make_hi_solver(
         vf, params, save_at=save_at_np, dt0=0.1,
         vf_df=problems.rigid_body_df(params), engine=engine,
-        lanes=1024 if engine.startswith("pallas") else None,
+        lanes=512 if engine.startswith("pallas") else None,
     )
     rows = []
     for rtol in rtols:
