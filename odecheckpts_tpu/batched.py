@@ -737,7 +737,7 @@ def solve_save_at_batched(
         b, d, num_derivatives=num_derivatives, num_save_at=len(save_at),
         dtype=u0s_tuple[0].dtype, budget=hbm_budget,
     )
-    lane_width = lanes or min(LANES * 8, max(LANES, b))
+    lane_width = lanes or min(LANES * 4, max(LANES, b))
     pad = (-b) % lane_width
     if pad:
         u0s_tuple = tuple(

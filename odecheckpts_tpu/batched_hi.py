@@ -517,7 +517,7 @@ def make_hi_solver(
             control=control, ode_order=ode_order, correction=correction,
             error_unit=error_unit,
         )
-        lane_width = lanes or min(LANES * 8, max(LANES, bb))
+        lane_width = lanes or min(LANES * 4, max(LANES, bb))
         if engine == "pallas-loop":
             interval_call = _pallas_interval(
                 step_ll, interpret=interpret, lanes=lane_width,
@@ -659,7 +659,7 @@ def make_hi_solver(
             b, d, num_derivatives=nu, num_save_at=len(save_at_np),
             dtype=jnp.float32, budget=hbm_budget,
         )
-        lane_width = lanes or min(LANES * 8, max(LANES, b))
+        lane_width = lanes or min(LANES * 4, max(LANES, b))
         h = hashlib.sha1()
         for u in u0s_tuple:
             u_np = np.asarray(u)
