@@ -147,13 +147,17 @@ def main(num_epochs=150, max_steps=128, loss_kind="lml"):
     roll_true = facade.solve_rk("dopri5", vf_true, jnp.zeros(d), ts_dense,
                                 dt0=0.1, atol=1e-10, rtol=1e-10)
     p_fit, _ = unflatten(flat)
+    import numpy as _np
+
+    # pure-numpy leaves: pickled JAX arrays re-initialize the default
+    # (TPU) backend at np.load time and hang plot scripts off-chip
     fits = {
-        "ts": ts_dense,
-        "truth": roll_true((u0_plot,), ())[0],
-        "before": roll((u0_plot,), params0)[0],
-        "after": roll((u0_plot,), p_fit)[0],
-        "data_ts": grid,
-        "data_ys": jnp.stack([solve_true((u0_plot,), ())[0]])[0],
+        "ts": _np.asarray(ts_dense),
+        "truth": _np.asarray(roll_true((u0_plot,), ())[0]),
+        "before": _np.asarray(roll((u0_plot,), params0)[0]),
+        "after": _np.asarray(roll((u0_plot,), p_fit)[0]),
+        "data_ts": _np.asarray(grid),
+        "data_ys": _np.asarray(jnp.stack([solve_true((u0_plot,), ())[0]])[0]),
     }
     jnp.save(os.path.join(here, f"fits_{loss_kind}.npy"), fits,
              allow_pickle=True)
