@@ -25,9 +25,13 @@ def _load(name):
     return np.load(path, allow_pickle=True)
 
 
-fig, (ax_fit, ax_loss) = plt.subplots(1, 2, figsize=(9, 3.5), dpi=150)
+# two loss measures on different scales -> small multiples, one axis each
+fig, (ax_fit, ax_l1, ax_l2) = plt.subplots(
+    1, 3, figsize=(10.5, 3.2), dpi=150, width_ratios=[2, 1, 1]
+)
 
 styles = {"lml": ("C1", "Prob. (neg. LML)"), "mse": ("C0", "RK (MSE)")}
+loss_axes = {"lml": ax_l1, "mse": ax_l2}
 plotted_context = False
 for kind, (color, label) in styles.items():
     fits = _load(f"fits_{kind}.npy")
@@ -44,19 +48,19 @@ for kind, (color, label) in styles.items():
             plotted_context = True
         ax_fit.plot(fits["ts"], fits["after"][:, 0], color=color, label=label)
     if losses is not None:
-        # LML and MSE live on different scales; normalize to the start
-        ax_loss.semilogy(
-            np.maximum(np.asarray(losses) - np.min(losses) + 1e-12, 1e-12)
-            / max(losses[0] - np.min(losses), 1e-12),
-            color=color, label=label,
-        )
+        ax = loss_axes[kind]
+        losses = np.asarray(losses)
+        if np.all(losses > 0):
+            ax.semilogy(losses, color=color)
+        else:
+            ax.plot(losses, color=color)
+        ax.set_xlabel("epoch")
+        ax.set_title(label, fontsize=8)
 
 ax_fit.set_xlabel("t")
 ax_fit.set_ylabel("u[0]")
 ax_fit.legend(fontsize=7)
-ax_loss.set_xlabel("epoch")
-ax_loss.set_ylabel("loss (shifted, rel. to start)")
-ax_loss.legend(fontsize=7)
+ax_l1.set_ylabel("train loss")
 fig.tight_layout()
 out = os.path.join(here, "node.pdf")
 fig.savefig(out)
