@@ -263,6 +263,8 @@ def main():
             break
         except Exception as e:
             print(f"# {eng} f32 failed ({e!r}); falling back", file=sys.stderr)
+    else:
+        raise RuntimeError("all f32 engines failed")
 
     # engine equivalence gate, f32 -- MUST run before x64 is enabled: with
     # x64 on, weak Python literals in the kernel promote to f64 and Mosaic's

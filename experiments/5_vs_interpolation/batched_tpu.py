@@ -72,22 +72,19 @@ def main(batch=8192, engine="pallas"):
     results = {}
     for tol, ref_s in REFERENCE.items():
         hi_row = tol < 1e-5  # df32 pair engine replaces the old x64 row
-        dtype = jnp.float32
         eng = engine
         b = batch
-        save_at = jnp.linspace(*tspan, num=50, dtype=dtype)
+        save_at = jnp.linspace(*tspan, num=50, dtype=jnp.float32)
         # replicate the EXACT Arenstorf initial condition: the periodic orbit
         # exists only for it -- perturbed lanes fall into the moon singularity,
         # stall at the dt floor, and hang the kernel (measured on-chip).
         # Lanes are independent, so throughput is unaffected by replication.
-        u0s = jnp.tile(u0_.astype(dtype)[None], (b, 1))
-        du0s = jnp.tile(du0_.astype(dtype)[None], (b, 1))
-        tols = jnp.full((b,), tol, dtype)
+        u0s = jnp.tile(u0_.astype(jnp.float32)[None], (b, 1))
+        du0s = jnp.tile(du0_.astype(jnp.float32)[None], (b, 1))
+        tols = jnp.full((b,), tol, jnp.float32)
 
         if hi_row:
-            eng_hi = {"pallas-loop": "pallas-loop", "pallas": "pallas"}.get(
-                eng, "xla"
-            )
+            eng_hi = eng if eng.startswith("pallas") else "xla"
             hi_solve = batched_hi.make_hi_solver(
                 vf, (), save_at=jnp.asarray(save_at), dt0=0.01,
                 engine=eng_hi, ode_order=2,

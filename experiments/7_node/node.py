@@ -157,7 +157,7 @@ def main(num_epochs=150, max_steps=128, loss_kind="lml"):
         "before": _np.asarray(roll((u0_plot,), params0)[0]),
         "after": _np.asarray(roll((u0_plot,), p_fit)[0]),
         "data_ts": _np.asarray(grid),
-        "data_ys": _np.asarray(jnp.stack([solve_true((u0_plot,), ())[0]])[0]),
+        "data_ys": _np.asarray(solve_true((u0_plot,), ())[0]),
     }
     jnp.save(os.path.join(here, f"fits_{loss_kind}.npy"), fits,
              allow_pickle=True)

@@ -174,6 +174,8 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
     sqrt_d = math.sqrt(1.0 * d)
     n1 = ctrl.power_integral / (nu + 1.0)
     n2 = ctrl.power_proportional / (nu + 1.0)
+    if error_unit not in ("qoi", "residual"):
+        raise ValueError(f"error_unit must be 'qoi' or 'residual', got {error_unit!r}")
     ts1 = correction == "ts1"
     if ts1 and d != 1:
         raise NotImplementedError(
@@ -366,27 +368,38 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
             if fixedpoint:
                 bwdG_new = _matmul_ll(bwdG, gain, n)
                 bwd_m_new = _matmul_ll(bwdG, bwd_m_step, n) + bwd_m
-                m1 = _matmul_ll(bwdG, bwd_L_step, n)
-                # same per-lane normalization as the extrapolation QR (the
-                # accumulated backward factor inherits the stiff magnitudes)
-                mag3 = tiny_scale
+                # normalize bwdG BEFORE the product (its accumulated-gain
+                # entries carry p_i/p_j ratios that can push the matmul
+                # itself past f32 max on stiff lanes); the true factor
+                # blocks are mag_g * [m1; bwd_L/mag_g], so one more joint
+                # scale t3 keeps the QR entries <= 1 and the back-multiply
+                # runs in two bounded steps
+                mag_g = tiny_scale
                 for c in range(n):
-                    mag3 = jnp.maximum(
-                        mag3, jnp.max(jnp.abs(m1[c]), axis=0, keepdims=True)
+                    mag_g = jnp.maximum(
+                        mag_g, jnp.max(jnp.abs(bwdG[c]), axis=0, keepdims=True)
                     )
-                    mag3 = jnp.maximum(
-                        mag3, jnp.max(jnp.abs(bwd_L[c]), axis=0, keepdims=True)
+                inv_g = 1.0 / mag_g
+                m1 = _matmul_ll(bwdG * inv_g[None], bwd_L_step, n)
+                bl_g = bwd_L * inv_g[None]
+                t3 = tiny_scale
+                for c in range(n):
+                    t3 = jnp.maximum(
+                        t3, jnp.max(jnp.abs(m1[c]), axis=0, keepdims=True)
                     )
-                inv3 = 1.0 / mag3
+                    t3 = jnp.maximum(
+                        t3, jnp.max(jnp.abs(bl_g[c]), axis=0, keepdims=True)
+                    )
+                inv3 = 1.0 / t3
                 cols2 = [
-                    jnp.concatenate([m1[c] * inv3, bwd_L[c] * inv3], axis=0)
+                    jnp.concatenate([m1[c] * inv3, bl_g[c] * inv3], axis=0)
                     for c in range(n)
                 ]
                 cols2 = _qr_r_cols(cols2, 2 * n, n)
                 bwd_L_new = (
                     jnp.swapaxes(jnp.stack(cols2, axis=1)[:n], 0, 1)
-                    * mag3[None]
-                )
+                    * t3[None]
+                ) * mag_g[None]
             else:
                 bwdG_new, bwd_m_new, bwd_L_new = gain, bwd_m_step, bwd_L_step
         else:
@@ -438,13 +451,12 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
     return step
 
 
-def _pallas_step(step_fn, interpret=False, lanes=LANES, num_state=NUM_STATE):
-    """Wrap a lanes-last step as ONE Pallas kernel over ``lanes``-wide tiles.
+def _pallas_call_ll(body_fn, lanes, num_state, interpret):
+    """Shared pallas_call plumbing for the lanes-last step kernels.
 
-    Wider tiles amortize Mosaic's per-instruction overhead across more lanes
-    (the step is hundreds of tiny vector ops; at 128 lanes each op touches
-    only 1-2 vregs).  ``num_state`` parameterizes the state-tuple length so
-    alternative layouts (batched_hi's df32 pairs) reuse the wrapper.
+    ``body_fn(state_tuple, t_next, atol, rtol, dt_max, dt_floor, tiny)``
+    returns the output state tuple; the wrapper tiles every operand/output
+    along the last (lane) axis in ``lanes``-wide VMEM blocks.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -452,9 +464,7 @@ def _pallas_step(step_fn, interpret=False, lanes=LANES, num_state=NUM_STATE):
     def kernel(*refs):
         n_in = num_state + 6
         ins = [r[...] for r in refs[:n_in]]
-        state = tuple(ins[:num_state])
-        t_next, atol, rtol, dt_max, dt_floor, tiny_scale = ins[num_state:]
-        outs = step_fn(state, t_next, atol, rtol, dt_max, dt_floor, tiny_scale)
+        outs = body_fn(tuple(ins[:num_state]), *ins[num_state:])
         for r, o in zip(refs[n_in:], outs):
             r[...] = o
 
@@ -488,6 +498,17 @@ def _pallas_step(step_fn, interpret=False, lanes=LANES, num_state=NUM_STATE):
     return call
 
 
+def _pallas_step(step_fn, interpret=False, lanes=LANES, num_state=NUM_STATE):
+    """Wrap a lanes-last step as ONE Pallas kernel over ``lanes``-wide tiles.
+
+    Wider tiles amortize Mosaic's per-instruction overhead across more lanes
+    (the step is hundreds of tiny vector ops; at 128 lanes each op touches
+    only 1-2 vregs).  ``num_state`` parameterizes the state-tuple length so
+    alternative layouts (batched_hi's df32 pairs) reuse the wrapper.
+    """
+    return _pallas_call_ll(step_fn, lanes, num_state, interpret)
+
+
 def _pallas_interval(step_fn, interpret=False, lanes=LANES,
                      num_state=NUM_STATE, max_attempts=100_000):
     """One kernel per CHECKPOINT INTERVAL: the accept/reject while loop runs
@@ -502,15 +523,8 @@ def _pallas_interval(step_fn, interpret=False, lanes=LANES,
     frozen inside ``step_fn``, so results are identical to the XLA-loop
     engine; the attempt cap is the same per-tile chip-hang guard.
     """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(*refs):
-        n_in = num_state + 6
-        ins = [r[...] for r in refs[:n_in]]
-        state = tuple(ins[:num_state])
-        t_next, atol, rtol, dt_max, dt_floor, tiny_scale = ins[num_state:]
-
+    def interval_body(state, t_next, atol, rtol, dt_max, dt_floor, tiny_scale):
         def cond(carry):
             s, k = carry
             return jnp.any(s[0] < t_next) & (k < max_attempts)
@@ -523,37 +537,9 @@ def _pallas_interval(step_fn, interpret=False, lanes=LANES,
         final, _ = jax.lax.while_loop(
             cond, body, (state, jnp.zeros((), jnp.int32))
         )
-        for r, o in zip(refs[n_in:], final):
-            r[...] = o
+        return final
 
-    def call(state, t_next, atol, rtol, dt_max, dt_floor, tiny_scale):
-        b = state[0].shape[-1]
-        grid = (b // lanes,)
-
-        def spec(arr):
-            nd = arr.ndim
-            block = arr.shape[:-1] + (lanes,)
-            idx = {
-                2: lambda i: (0, i),
-                3: lambda i: (0, 0, i),
-            }[nd]
-            return pl.BlockSpec(block, idx, memory_space=pltpu.VMEM)
-
-        operands = list(state) + [t_next, atol, rtol, dt_max, dt_floor, tiny_scale]
-        out_shape = [jax.ShapeDtypeStruct(s.shape, s.dtype) for s in state]
-        out_specs = [spec(s) for s in state]
-        return tuple(
-            pl.pallas_call(
-                kernel,
-                grid=grid,
-                in_specs=[spec(x) for x in operands],
-                out_specs=out_specs,
-                out_shape=out_shape,
-                interpret=interpret,
-            )(*operands)
-        )
-
-    return call
+    return _pallas_call_ll(interval_body, lanes, num_state, interpret)
 
 
 def _state_to_generic(state, needs_rev):

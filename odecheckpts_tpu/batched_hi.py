@@ -156,6 +156,8 @@ def make_step_hi(vf_df, *, nu, d, strategy="fixedpoint", calibration="dynamic",
     sqrt_d = math.sqrt(1.0 * d)
     n1 = ctrl.power_integral / (nu + 1.0)
     n2 = ctrl.power_proportional / (nu + 1.0)
+    if error_unit not in ("qoi", "residual"):
+        raise ValueError(f"error_unit must be 'qoi' or 'residual', got {error_unit!r}")
     ts1 = correction == "ts1"
     if ts1 and d != 1:
         raise NotImplementedError("ts1 in the hi engine covers d=1")
