@@ -6,14 +6,15 @@ control, atol = 1e-3*rtol (/root/reference/experiments/2_workprec_simple/
 run_simple.py:22,40-56) — executed as large IVP ensembles on one TPU chip
 with the fused lanes-last step kernel (batched.solve_save_at_batched):
 
-* rtol 1e-1..1e-5 in float32 (Pallas engine, batch 32768),
-* rtol 1e-6..1e-9 in compensated double-f32 pairs (batched_hi: the same
+* rtol 1e-1..1e-4 in float32 (Pallas engine, batch 32768),
+* rtol 1e-5..1e-9 in compensated double-f32 pairs (batched_hi: the same
   fused Pallas step with (hi, lo) mean/time/residual channels at ~2^-48;
   fallback: float64 under XLA's x64 emulation, HBM-guarded).
 
 Validation inside the bench (not just finiteness):
-* RMSE against per-lane scipy-LSODA(1e-12) truth on sampled lanes must stay
-  below 10*rtol at every tolerance (reference precision yardstick:
+* RMSE against per-lane scipy-LSODA(1e-12) truth on >=256 sampled lanes must
+  stay below 3*rtol at every tolerance, the WORST sampled lane below 6*rtol,
+  and no lane may hit the attempt cap (reference precision yardstick:
   run_simple.py:120-121; the reference's own RMSE/rtol ratio is ~0.2).
 * Pallas-vs-XLA engine equivalence at bench scale ("engine_match": max |du|
   across a 1024-lane sub-batch at rtol 1e-3).
@@ -45,9 +46,16 @@ REF_SECONDS = {
     1e-1: 0.0145, 1e-2: 0.0160, 1e-3: 0.0185, 1e-4: 0.0232, 1e-5: 0.0309,
     1e-6: 0.0556, 1e-7: 0.0699, 1e-8: 0.0879, 1e-9: 0.1105,
 }
-SWEEP_F32 = [1e-1, 1e-2, 1e-3, 1e-4, 1e-5]
-SWEEP_F64 = [1e-6, 1e-7, 1e-8, 1e-9]
-RMSE_BOUND_FACTOR = 10.0
+# rtol 1e-5 moved to the df32 band in round 3: at ~1.5k steps the plain-f32
+# engine's accumulated roundoff (~2e-5 on this problem) is the binding error,
+# not the controller -- the pair engine keeps the 3x gate honest there.
+SWEEP_F32 = [1e-1, 1e-2, 1e-3, 1e-4]
+SWEEP_F64 = [1e-5, 1e-6, 1e-7, 1e-8, 1e-9]
+# round 3 (error calibration landed): reference tracks ~0.2x rtol, we gate at
+# 3x aggregate and 6x on the worst sampled lane
+RMSE_BOUND_FACTOR = 3.0
+LANE_BOUND_FACTOR = 6.0
+MAX_ATTEMPTS = 100_000
 
 
 def _problem():
@@ -133,10 +141,19 @@ def _sweep(dtype, rtols, batch, engine, *, sample, trace_dir=None):
             elapsed = time.perf_counter() - t0
         err = np.asarray(u_s[:sample], np.float64) - truth
         rmse = float(np.sqrt(np.mean(err * err)))
+        # per-lane RMSE over (checkpoints x dims): a single stalled/diverged
+        # lane must fail the gate even when the aggregate hides it
+        rmse_lane = np.sqrt(np.mean(err * err, axis=(1, 2)))
+        rmse_max_lane = float(np.max(rmse_lane))
+        capped = _count_capped(n)
         assert np.isfinite(rmse), f"non-finite solution at rtol={rtol}"
         assert rmse < RMSE_BOUND_FACTOR * rtol, (
             f"accuracy gate failed at rtol={rtol}: rmse={rmse:.3e}"
         )
+        assert rmse_max_lane < LANE_BOUND_FACTOR * rtol, (
+            f"per-lane gate failed at rtol={rtol}: worst lane {rmse_max_lane:.3e}"
+        )
+        assert capped == 0, f"{capped} lanes hit the attempt cap at rtol={rtol}"
         rows.append(
             {
                 "rtol": rtol,
@@ -146,6 +163,8 @@ def _sweep(dtype, rtols, batch, engine, *, sample, trace_dir=None):
                 "seconds": round(elapsed, 4),
                 "solves_per_sec": round(batch / elapsed, 2),
                 "rmse": rmse,
+                "rmse_max_lane": rmse_max_lane,
+                "capped_lanes": capped,
                 "mean_steps": round(float(jnp.mean(n[:, -1].astype(jnp.float32))), 1),
                 "ref_seconds_per_solve": REF_SECONDS[rtol],
                 "speedup_vs_ref": round(batch / elapsed * REF_SECONDS[rtol], 1),
@@ -161,6 +180,17 @@ class _null_ctx:
 
     def __exit__(self, *a):
         return False
+
+
+def _count_capped(num_steps):
+    """Lanes whose accepted-step count in any checkpoint interval reached the
+    attempt cap.  The realistic cap-hitting mode is a stall at the dt floor
+    with forced acceptance (accepted == attempts there), so the accepted-step
+    increment detects it; rejection-heavy lanes cannot spin (forced
+    acceptance bounds consecutive rejections)."""
+    n = np.asarray(num_steps, np.int64)  # (B, T) cumulative
+    inc = np.diff(n, axis=1)
+    return int(np.sum(np.any(inc >= MAX_ATTEMPTS, axis=1)))
 
 
 def _sweep_hi(rtols, batch, *, sample, engine="pallas"):
@@ -188,11 +218,19 @@ def _sweep_hi(rtols, batch, *, sample, engine="pallas"):
         jax.block_until_ready(us[0])
         elapsed = time.perf_counter() - t0
         u64 = batched_hi.combine64((us[0][:sample], us[1][:sample]))
-        rmse = float(np.sqrt(np.mean((u64 - truth) ** 2)))
+        err = u64 - truth
+        rmse = float(np.sqrt(np.mean(err * err)))
+        rmse_lane = np.sqrt(np.mean(err * err, axis=(1, 2)))
+        rmse_max_lane = float(np.max(rmse_lane))
+        capped = _count_capped(n)
         assert np.isfinite(rmse), f"non-finite solution at rtol={rtol}"
         assert rmse < RMSE_BOUND_FACTOR * rtol, (
             f"accuracy gate failed at rtol={rtol}: rmse={rmse:.3e}"
         )
+        assert rmse_max_lane < LANE_BOUND_FACTOR * rtol, (
+            f"per-lane gate failed at rtol={rtol}: worst lane {rmse_max_lane:.3e}"
+        )
+        assert capped == 0, f"{capped} lanes hit the attempt cap at rtol={rtol}"
         rows.append(
             {
                 "rtol": rtol,
@@ -202,6 +240,8 @@ def _sweep_hi(rtols, batch, *, sample, engine="pallas"):
                 "seconds": round(elapsed, 4),
                 "solves_per_sec": round(batch / elapsed, 2),
                 "rmse": rmse,
+                "rmse_max_lane": rmse_max_lane,
+                "capped_lanes": capped,
                 "mean_steps": round(float(np.mean(np.asarray(n)[:, -1])), 1),
                 "ref_seconds_per_solve": REF_SECONDS[rtol],
                 "speedup_vs_ref": round(batch / elapsed * REF_SECONDS[rtol], 1),
@@ -246,7 +286,7 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     batch32 = int(os.environ.get("ODECKPT_BENCH_BATCH32", 32768))
     batch64 = int(os.environ.get("ODECKPT_BENCH_BATCH64", 8192))
-    sample = int(os.environ.get("ODECKPT_BENCH_SAMPLE", 8))
+    sample = int(os.environ.get("ODECKPT_BENCH_SAMPLE", 256))
     # one representative trace artifact is committed under
     # experiments/6_tpu_batched_sweep/trace/; fresh captures go to /tmp
     # unless explicitly redirected (keeps driver-run commits lean)
@@ -304,6 +344,8 @@ def main():
     ref_rate = len(rows) / sum(r["ref_seconds_per_solve"] for r in rows)
     solves_per_s = total_solves / total_time
     rmse_over_rtol = max(r["rmse"] / r["rtol"] for r in rows)
+    lane_over_rtol = max(r.get("rmse_max_lane", 0.0) / r["rtol"] for r in rows)
+    capped_total = sum(r.get("capped_lanes", 0) for r in rows)
 
     detail = {
         "rows": rows,
@@ -332,6 +374,8 @@ def main():
                 "vs_baseline": round(solves_per_s / ref_rate, 2),
                 "rows": len(rows),
                 "rmse_max_over_rtol": round(rmse_over_rtol, 4),
+                "rmse_max_lane_over_rtol": round(lane_over_rtol, 4),
+                "capped_lanes": capped_total,
                 "engine_match": (
                     None
                     if engine_rmse is None

@@ -1,22 +1,31 @@
 """Experiment 4: Brusselator memory scaling -- the paper's headline result.
 
-Port of /root/reference/experiments/4_brusselator/run.py.  For N = 2..512
-(state dim 2N) at tol 1e-8 with a TS0(4) isotropic fixedpoint solver:
+Capability parity with /root/reference/experiments/4_brusselator/run.py
+(protocol + result schema; the code is structured around this repo's
+value-based solver API and ``harness.timed_cold``).  For N = 2..512 (state
+dim 2N) at tol 1e-8 with a TS0(4) isotropic fixedpoint solver:
 
 * count adaptive steps via ``solve_adaptive_terminal_values`` (O(1) memory);
 * estimate the textbook smoother's memory as steps x 3-copy state size and
-  run it only if the estimate fits (reference :100-116);
+  run it only when the estimate fits (predictive admission control,
+  reference :100-116);
 * run the checkpoint (fixedpoint save_at, 200 points) solver always --
   its memory is O(200) regardless of the step count (reference :119-138).
 
-Runtimes include compilation (caches cleared), like the reference (:19,81).
+Every runtime is a cold one-shot including compilation (``timed_cold``),
+matching the reference's cache-clearing protocol (:19,81).
+
+NOTE on small N: this environment compiles through a remote relay, so the
+compile-included runtimes at small N are relay-dominated (~5 s where the
+reference's local-CPU one-shots take ~0.7 s); the memory columns and step
+counts are the comparable quantities there.  At N=512 compute dominates and
+the runtime comparison is meaningful again (see BASELINE.md).
 """
 
 import argparse
 import os
 import pathlib
 import sys
-import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
 
@@ -31,91 +40,128 @@ import jax.numpy as jnp  # noqa: E402
 
 from odecheckpts_tpu import harness, ivpsolve, ivpsolvers, problems, taylor  # noqa: E402
 
+TOL = 1e-8
+NUM_DERIVATIVES = 4
+NUM_CHECKPOINTS = 200
+# the adaptive state holds step_from / interpolate_from / current
+# (reference :69-71), so the textbook-memory model is 3 state copies per step
+STATE_COPIES = 3
+
+
+def _setup(N):
+    """Problem + initial condition + adaptive solvers for one grid size."""
+    vf, u0, (t0, t1), params = problems.brusselator(N=N)
+    prior = ivpsolvers.prior_ibm(
+        num_derivatives=NUM_DERIVATIVES,
+        ode_shape=(2 * N,),
+        implementation="isotropic",
+    )
+    # error_calibration pinned to 1.0 (the raw estimate): this experiment's
+    # cross-stack comparison is defined by STEP-COUNT parity with the
+    # reference protocol (~3.005M steps at tol 1e-8 on both stacks; committed
+    # data matches the reference to ~1e-5 relative), and its deliverables are
+    # memory-vs-steps, not solution accuracy.  The accuracy-calibrated
+    # default would relabel tolerances and break that equal-work basis.
+    ts0 = ivpsolvers.correction_ts0(ode_order=1, error_calibration=1.0)
+    ctrl = ivpsolve.control_proportional_integral()
+
+    def make_adaptive(strategy_fn):
+        solver = ivpsolvers.solver_dynamic(strategy_fn(prior, ts0))
+        return ivpsolve.adaptive(solver, atol=TOL, rtol=TOL, control=ctrl)
+
+    tcoeffs = taylor.odejet_unroll(
+        lambda *y: vf(*y, t=t0, p=params), u0, num=NUM_DERIVATIVES
+    )
+    asolver = make_adaptive(ivpsolvers.strategy_fixedpoint)
+    init = asolver.solver.initial_condition(tcoeffs, 1.0)
+    state_mb = (
+        STATE_COPIES * jax.flatten_util.ravel_pytree(init)[0].nbytes / 1024**2
+    )
+    return vf, init, (t0, t1), asolver, make_adaptive, state_mb
+
+
+def _count_steps(vf, init, tspan, asolver):
+    """Adaptive step count via the O(1)-memory terminal-value driver."""
+    t0, t1 = tspan
+    fn = jax.jit(
+        ivpsolve.solve_adaptive_terminal_values,
+        static_argnums=0,
+        static_argnames=["adaptive_solver"],
+    )
+    secs, sol = harness.timed_cold(
+        fn, vf, init, t0=t0, t1=t1, dt0=0.01, adaptive_solver=asolver
+    )
+    return secs, int(sol.num_steps)
+
+
+def _run_textbook(vf, init, tspan, asolver_smoother):
+    """O(#steps)-memory save-every-step smoother (the baseline under test)."""
+    t0, t1 = tspan
+    secs, sol = harness.timed_cold(
+        ivpsolve.solve_adaptive_save_every_step,
+        vf, init, t0=t0, t1=t1, dt0=0.01, adaptive_solver=asolver_smoother,
+    )
+    return secs, harness.nbytes_of_tree(sol) / 1024**2
+
+
+def _run_checkpoint(vf, init, tspan, asolver):
+    """O(#checkpoints)-memory fixedpoint save_at solve (the paper's method)."""
+    t0, t1 = tspan
+    save_at = jnp.linspace(t0, t1, num=NUM_CHECKPOINTS)
+    fn = jax.jit(
+        ivpsolve.solve_adaptive_save_at,
+        static_argnums=0,
+        static_argnames=["adaptive_solver"],
+    )
+    secs, sol = harness.timed_cold(
+        fn, vf, init, save_at=save_at, dt0=0.01, adaptive_solver=asolver
+    )
+    return secs, sol
+
 
 def main(powers, memory_limit_mb=4000, textbook=True):
-    results_checkpoint = {k: [] for k in ["N", "runtime", "memory", "ts", "ys", "num_steps"]}
-    results_textbook = {k: [] for k in ["N", "runtime", "memory", "ts", "ys", "num_steps"]}
+    # result schema kept identical to the reference's committed .npy files so
+    # plot.py and the BASELINE.md comparisons read both (reference :23-38)
+    schema = ["N", "runtime", "memory", "ts", "ys", "num_steps"]
+    ours = {k: [] for k in schema}
+    baseline = {k: [] for k in schema}
 
     for N in [int(2**p) for p in powers]:
-        vf, u0, (t0, t1), params = problems.brusselator(N=N)
-        num = 4
-        tol = 1e-8
-        prior = ivpsolvers.prior_ibm(
-            num_derivatives=num, ode_shape=(2 * N,), implementation="isotropic"
+        vf, init, tspan, asolver, make_adaptive, state_mb = _setup(N)
+        print(f"\n[N={N}, state dim {2 * N}]")
+
+        count_secs, nsteps = _count_steps(vf, init, tspan, asolver)
+        est_mb = nsteps * state_mb
+        print(
+            f"  step count: {nsteps:,} adaptive steps in {count_secs:.1f}s "
+            f"-> textbook estimate {est_mb:,.0f} MB"
         )
-        ts0 = ivpsolvers.correction_ts0(ode_order=1)
-        strategy = ivpsolvers.strategy_fixedpoint(prior, ts0)
-        solver = ivpsolvers.solver_dynamic(strategy)
-        ctrl = ivpsolve.control_proportional_integral()
-        adaptive_solver = ivpsolve.adaptive(solver, atol=tol, rtol=tol, control=ctrl)
+        baseline["N"].append(N)
+        baseline["memory"].append(est_mb)
+        baseline["num_steps"].append(nsteps)
 
-        tcoeffs = taylor.odejet_unroll(lambda *y: vf(*y, t=t0, p=params), u0, num=num)
-        init = solver.initial_condition(tcoeffs, 1.0)
-
-        print(f"\nFor N={N}:")
-        num_copies = 3  # step_from, interpolate_from, current (reference :69-71)
-        size_init = num_copies * jax.flatten_util.ravel_pytree(init)[0].nbytes
-
-        # Step count without storing anything
-        jax.clear_caches()
-        solve_terminal = jax.jit(
-            ivpsolve.solve_adaptive_terminal_values,
-            static_argnums=0,
-            static_argnames=["adaptive_solver"],
-        )
-        count0 = time.perf_counter()
-        solution = solve_terminal(
-            vf, init, t0=t0, t1=t1, dt0=0.01, adaptive_solver=adaptive_solver
-        )
-        jax.block_until_ready(solution.u)
-        count1 = time.perf_counter() - count0
-        nsteps = int(solution.num_steps)
-        total_memory = nsteps * size_init / 1024**2
-        print(f"\tBaseline: {nsteps:,} steps ({int(total_memory):,} MB est.) in {count1:.1f}s")
-        results_textbook["N"].append(N)
-        results_textbook["memory"].append(total_memory)
-        results_textbook["num_steps"].append(nsteps)
-
-        if textbook and total_memory < memory_limit_mb:
-            strategy_ = ivpsolvers.strategy_smoother(prior, ts0)
-            solver_ = ivpsolvers.solver_dynamic(strategy_)
-            adaptive_solver_ = ivpsolve.adaptive(solver_, atol=tol, rtol=tol, control=ctrl)
-            jax.clear_caches()
-            count0 = time.perf_counter()
-            solution = ivpsolve.solve_adaptive_save_every_step(
-                vf, init, t0=t0, t1=t1, dt0=0.01, adaptive_solver=adaptive_solver_
+        if textbook and est_mb < memory_limit_mb:
+            tb_secs, tb_mb = _run_textbook(
+                vf, init, tspan, make_adaptive(ivpsolvers.strategy_smoother)
             )
-            jax.block_until_ready(solution.u)
-            count1 = time.perf_counter() - count0
-            size_sol = harness.nbytes_of_tree(solution) / 1024**2
-            print(f"\tTextbook solver: {count1:.1f}s using {int(size_sol):,} MB")
-            results_textbook["runtime"].append(count1)
+            print(f"  save-every-step smoother: {tb_secs:.1f}s, {tb_mb:,.0f} MB held")
+            baseline["runtime"].append(tb_secs)
+        elif textbook:
+            print(f"  save-every-step smoother: skipped (> {memory_limit_mb:,.0f} MB)")
 
-        save_at = jnp.linspace(t0, t1, num=200)
-        jax.clear_caches()
-        count0 = time.perf_counter()
-        solve_save_at = jax.jit(
-            ivpsolve.solve_adaptive_save_at,
-            static_argnums=0,
-            static_argnames=["adaptive_solver"],
-        )
-        solution = solve_save_at(
-            vf, init, save_at=save_at, dt0=0.01, adaptive_solver=adaptive_solver
-        )
-        jax.block_until_ready(solution.u)
-        count1 = time.perf_counter() - count0
-        print(f"\tCheckpoint solver: {count1:.1f}s")
-        results_checkpoint["N"].append(N)
-        results_checkpoint["runtime"].append(count1)
-        results_checkpoint["memory"].append(len(save_at) * size_init / 1024**2)
-        results_checkpoint["ts"].append(solution.t)
-        results_checkpoint["ys"].append(solution.u)
-        results_checkpoint["num_steps"].append(int(jnp.amax(solution.num_steps)))
+        cp_secs, sol = _run_checkpoint(vf, init, tspan, asolver)
+        print(f"  fixedpoint save_at({NUM_CHECKPOINTS}): {cp_secs:.1f}s")
+        ours["N"].append(N)
+        ours["runtime"].append(cp_secs)
+        ours["memory"].append(NUM_CHECKPOINTS * state_mb)
+        ours["ts"].append(sol.t)
+        ours["ys"].append(sol.u)
+        ours["num_steps"].append(int(jnp.amax(sol.num_steps)))
 
     here = os.path.dirname(__file__)
-    jnp.save(os.path.join(here, "data_checkpoint.npy"), results_checkpoint, allow_pickle=True)
-    jnp.save(os.path.join(here, "data_textbook.npy"), results_textbook, allow_pickle=True)
-    print("\nSaved.")
+    jnp.save(os.path.join(here, "data_checkpoint.npy"), ours, allow_pickle=True)
+    jnp.save(os.path.join(here, "data_textbook.npy"), baseline, allow_pickle=True)
+    print("\nWrote data_checkpoint.npy / data_textbook.npy")
 
 
 if __name__ == "__main__":

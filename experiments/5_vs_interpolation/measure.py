@@ -1,8 +1,11 @@
 """Experiment 5: posterior sampling -- checkpoints (ATS) vs tstops re-solve (AS).
 
-Port of /root/reference/experiments/5_vs_interpolation/measure.py.  Three-body
-restricted problem (2nd order), K in {5, 50, 500} posterior samples at 50
-save_at points, tolerances {1e-4, 1e-7, 1e-10}:
+Capability parity with /root/reference/experiments/5_vs_interpolation/
+measure.py (same protocol, result schema, and algorithm labels for the table
+printer; the code is organized as solver-closure builders over this repo's
+value-based API).  Three-body restricted problem (2nd order), K in
+{5, 50, 500} posterior samples at 50 save_at points, tolerances
+{1e-4, 1e-7, 1e-10}:
 
 * "ATS (ours)": fixedpoint ``solve_adaptive_save_at`` then ``markov_sample``
   on the 50-state posterior (O(#save_at) work per sample);
@@ -10,12 +13,10 @@ save_at points, tolerances {1e-4, 1e-7, 1e-10}:
   save_at ("tstops" emulation), ``solve_fixed_grid`` re-solve with a smoother,
   sample the full O(#steps) posterior, index out the save_at rows.
 
-Timing = min of 3 (compile excluded).  Results go to a pickled dict with the
-reference's schema for the LaTeX table printer.
+Timing = min of 3 (compile excluded).
 """
 
 import argparse
-import functools
 import os
 import pathlib
 import sys
@@ -31,123 +32,114 @@ import jax.numpy as jnp  # noqa: E402
 
 from odecheckpts_tpu import harness, ivpsolve, ivpsolvers, problems, stats, taylor  # noqa: E402
 
+ODE_ORDER = 2
+NUM_DERIVS = 4
 
-class RunnerCheckpoint:
-    name = "ATS (ours)"
 
-    def __init__(self, vf, init, tspan, /, *, ode_order, num_derivs, num_samples):
-        self.vf = vf
-        self.num_samples = num_samples
-        prior = ivpsolvers.prior_ibm(
-            num_derivatives=num_derivs, ode_shape=(2,), implementation="isotropic"
+def _configured_solver(vf, u0_tuple, t0, strategy_fn):
+    """Uncalibrated solver + exact initial state for the three-body setup."""
+    prior = ivpsolvers.prior_ibm(
+        num_derivatives=NUM_DERIVS, ode_shape=(2,), implementation="isotropic"
+    )
+    strategy = strategy_fn(prior, ivpsolvers.correction_ts0(ode_order=ODE_ORDER))
+    solver = ivpsolvers.solver(strategy)
+    tcoeffs = taylor.odejet_padded_scan(
+        lambda *y: vf(*y, t=t0), u0_tuple, num=NUM_DERIVS + 1 - ODE_ORDER
+    )
+    init = solver.initial_condition(tcoeffs, jnp.ones(()))
+    return solver, init
+
+
+def _mean_of_qoi_samples(posterior, num_samples):
+    """K joint posterior samples of the qoi, averaged (the measured op)."""
+    seq = stats.markov_select_terminal(posterior)
+    (qoi, _), (qoi_term, _) = stats.markov_sample(
+        jax.random.PRNGKey(1), seq, shape=(num_samples,), reverse=True
+    )
+    return jnp.concatenate([qoi, qoi_term[..., None, :]], axis=-2).mean(axis=0)
+
+
+def build_checkpoint_sampler(vf, u0_tuple, tspan, *, tol, save_at, num_samples):
+    """ATS: one O(#save_at)-memory adaptive solve, sample the 50-state
+    posterior directly.  Returns (jitted thunk, step-count proxy)."""
+    solver, init = _configured_solver(
+        vf, u0_tuple, tspan[0], ivpsolvers.strategy_fixedpoint
+    )
+    asolver = ivpsolve.adaptive(
+        solver, atol=tol, rtol=tol, control=ivpsolve.control_proportional_integral()
+    )
+
+    @jax.jit
+    def run():
+        sol = ivpsolve.solve_adaptive_save_at(
+            vf, init, save_at=save_at, dt0=0.01, adaptive_solver=asolver
         )
-        ts0 = ivpsolvers.correction_ts0(ode_order=ode_order)
-        strategy = ivpsolvers.strategy_fixedpoint(prior, ts0)
-        self.solver = ivpsolvers.solver(strategy)
-        self.ctrl = ivpsolve.control_proportional_integral()
-        t0, _ = tspan
-        num = num_derivs + 1 - ode_order
-        tcoeffs = taylor.odejet_padded_scan(lambda *y: vf(*y, t=t0), init, num=num)
-        self.init = self.solver.initial_condition(tcoeffs, jnp.ones(()))
-        self.solve = None
+        return save_at, _mean_of_qoi_samples(sol.posterior, num_samples)
 
-    def prepare_and_solve(self, *, tol, save_at):
-        solve = functools.partial(self._solve, tol=tol, save_at=save_at)
-        self.solve = jax.jit(solve)
-        return self.solve(), len(save_at)
-
-    def _solve(self, *, tol, save_at):
-        asolver = ivpsolve.adaptive(self.solver, atol=tol, rtol=tol, control=self.ctrl)
-        solution = ivpsolve.solve_adaptive_save_at(
-            self.vf, self.init, save_at=save_at, dt0=0.01, adaptive_solver=asolver
-        )
-        key = jax.random.PRNGKey(1)
-        posterior = stats.markov_select_terminal(solution.posterior)
-        (qoi, _samples), (qoi_term, _) = stats.markov_sample(
-            key, posterior, shape=(self.num_samples,), reverse=True
-        )
-        qoi = jnp.concatenate([qoi, qoi_term[..., None, :]], axis=-2)
-        return save_at, qoi.mean(axis=0)
+    return run, len(save_at)
 
 
-class RunnerTextbook:
-    name = "AS"
+def build_tstops_sampler(vf, u0_tuple, tspan, *, tol, save_at, num_samples):
+    """AS: discover the adaptive grid eagerly, union it with save_at, re-solve
+    on the union with a smoother, sample the O(#steps) posterior, and slice
+    the save_at rows back out.  Returns (jitted thunk, #adaptive steps)."""
+    solver, init = _configured_solver(
+        vf, u0_tuple, tspan[0], ivpsolvers.strategy_smoother
+    )
+    asolver = ivpsolve.adaptive(
+        solver, atol=tol, rtol=tol, control=ivpsolve.control_proportional_integral()
+    )
+    discovery = ivpsolve.solve_adaptive_save_every_step(
+        vf, init, t0=save_at[0], t1=save_at[-1], dt0=0.01, adaptive_solver=asolver
+    )
+    grid = jnp.sort(jnp.union1d(discovery.t, save_at))
 
-    def __init__(self, vf, init, tspan, /, *, ode_order, num_derivs, num_samples):
-        self.vf = vf
-        self.num_samples = num_samples
-        prior = ivpsolvers.prior_ibm(
-            num_derivatives=num_derivs, ode_shape=(2,), implementation="isotropic"
-        )
-        ts0 = ivpsolvers.correction_ts0(ode_order=ode_order)
-        strategy = ivpsolvers.strategy_smoother(prior, ts0)
-        self.solver = ivpsolvers.solver(strategy)
-        self.ctrl = ivpsolve.control_proportional_integral()
-        t0, _ = tspan
-        num = num_derivs + 1 - ode_order
-        tcoeffs = taylor.odejet_padded_scan(lambda *y: vf(*y, t=t0), init, num=num)
-        self.init = self.solver.initial_condition(tcoeffs, jnp.ones(()))
-        self.solve = None
-
-    def prepare_and_solve(self, *, tol, save_at):
-        t0, t1 = save_at[0], save_at[-1]
-        asolver = ivpsolve.adaptive(self.solver, atol=tol, rtol=tol, control=self.ctrl)
-        adaptive_sol = ivpsolve.solve_adaptive_save_every_step(
-            self.vf, self.init, t0=t0, t1=t1, dt0=0.01, adaptive_solver=asolver
-        )
-        grid = jnp.union1d(adaptive_sol.t, save_at)
-        grid = jnp.sort(grid)
-        solve = functools.partial(self._solve, grid=grid, save_at=save_at)
-        self.solve = jax.jit(solve)
-        return self.solve(), len(adaptive_sol.t) - 1
-
-    def _solve(self, grid, save_at):
-        solution = ivpsolve.solve_fixed_grid(
-            self.vf, self.init, grid=grid, solver=self.solver
-        )
-        key = jax.random.PRNGKey(1)
-        posterior = stats.markov_select_terminal(solution.posterior)
-        (qoi, _samples), (qoi_term, _) = stats.markov_sample(
-            key, posterior, shape=(self.num_samples,), reverse=True
-        )
-        qoi = jnp.concatenate([qoi, qoi_term[..., None, :]], axis=-2)
-        _, _, indices = jnp.intersect1d(
+    @jax.jit
+    def run():
+        sol = ivpsolve.solve_fixed_grid(vf, init, grid=grid, solver=solver)
+        qoi = _mean_of_qoi_samples(sol.posterior, num_samples)
+        _, _, idx = jnp.intersect1d(
             save_at, grid, size=len(save_at), return_indices=True
         )
-        return save_at, qoi[:, indices, :].mean(axis=0)
+        return save_at, qoi[idx, :]
+
+    return run, len(discovery.t) - 1
+
+
+ALGORITHMS = [
+    ("AS", build_tstops_sampler),
+    ("ATS (ours)", build_checkpoint_sampler),
+]
 
 
 def main(num_samples, tol_exponents, num_save_at=50):
-    ivp = problems.three_body_restricted()
+    vf, u0_tuple, tspan = problems.three_body_restricted()
+    save_at = jnp.linspace(tspan[0], tspan[-1], num=num_save_at)
 
     results = {}
-    i = 1
-    for n in num_samples:
-        for expo in tol_exponents:
-            tol = 10.0 ** (-float(expo))
-            tol_label = f"$10^{{-{int(expo)}}}$"
-            checkpoint = RunnerCheckpoint(*ivp, ode_order=2, num_derivs=4, num_samples=n)
-            textbook = RunnerTextbook(*ivp, ode_order=2, num_derivs=4, num_samples=n)
-
-            results[i] = {"No. Samples": f"{n}", "Tolerance": tol_label}
-            save_at = jnp.linspace(ivp[2][0], ivp[2][-1], num=num_save_at)
-            for alg in [textbook, checkpoint]:
-                _approx, nsteps = alg.prepare_and_solve(tol=tol, save_at=save_at)
-                tm = harness.runtime_min(alg.solve, num_runs=3)
-                if alg.name == "AS":
-                    results[i]["No. steps"] = f"{int(nsteps):,}"
-                results[i][f"Time (s): {alg.name}"] = f"{tm:.3f}"
-                print(
-                    f"alg={alg.name}, K={n}, tol={tol:.0e}, time={tm:.3f}s, "
-                    f"nsteps={int(nsteps):,}",
-                    flush=True,
-                )
-            i += 1
-        print()
+    for i, (n, expo) in enumerate(
+        ((n, e) for n in num_samples for e in tol_exponents), start=1
+    ):
+        tol = 10.0 ** (-float(expo))
+        row = {"No. Samples": f"{n}", "Tolerance": f"$10^{{-{int(expo)}}}$"}
+        for label, build in ALGORITHMS:
+            run, nsteps = build(
+                vf, u0_tuple, tspan, tol=tol, save_at=save_at, num_samples=n
+            )
+            seconds = harness.runtime_min(run, num_runs=3)
+            if label == "AS":
+                row["No. steps"] = f"{int(nsteps):,}"
+            row[f"Time (s): {label}"] = f"{seconds:.3f}"
+            print(
+                f"{label:>10}  K={n:<4} tol={tol:.0e}  {seconds:.3f}s  "
+                f"({int(nsteps):,} steps)",
+                flush=True,
+            )
+        results[i] = row
 
     here = os.path.dirname(__file__)
     jnp.save(os.path.join(here, "data_results.npy"), results, allow_pickle=True)
-    print("Saved.")
+    print("Wrote data_results.npy")
 
 
 if __name__ == "__main__":

@@ -21,8 +21,10 @@ elimination over lanes (cf. pallas_kernels.batched_qr_r).
 Scope: isotropic backend, TS0 (any d) or TS1 (d=1, the stiff Van-der-Pol
 configuration), ode_order in {1, 2}, filter or fixedpoint strategy, dynamic
 or fixed calibration -- the flagship benchmark configurations
-(BASELINE.json).  The generic vmapped path in ``parallel`` covers everything
-else; the df32 tight-tolerance variant lives in ``batched_hi``.
+(BASELINE.json).  TS1 at d > 1 (or ``implementation="dense"``) dispatches to
+the dense lanes-last engine in ``batched_dense``; the generic vmapped path
+in ``parallel`` covers everything else; the df32 tight-tolerance variant
+lives in ``batched_hi``.
 """
 
 from __future__ import annotations
@@ -145,7 +147,7 @@ def _matmul_ll(a, b, n):
 
 def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
                  calibration="dynamic", control=None, ode_order=1,
-                 correction="ts0", error_unit="qoi"):
+                 correction="ts0", error_unit="qoi", error_calibration=None):
     """Lanes-last adaptive attempt; pure jnp (usable inside a Pallas kernel).
 
     ``ode_order`` in {1, 2}: the TS0 residual observes derivative ``o``
@@ -176,11 +178,17 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
     n2 = ctrl.power_proportional / (nu + 1.0)
     if error_unit not in ("qoi", "residual"):
         raise ValueError(f"error_unit must be 'qoi' or 'residual', got {error_unit!r}")
+    if error_calibration is None:
+        from .ivpsolvers import default_error_calibration
+
+        error_calibration = default_error_calibration(correction, error_unit)
+    kappa = float(error_calibration)
     ts1 = correction == "ts1"
     if ts1 and d != 1:
         raise NotImplementedError(
-            "fused ts1 covers d=1 (the dense backend's d=1 case); use the "
-            "generic vmapped path for d > 1"
+            "the isotropic lanes-last step covers ts1 only at d=1; use "
+            "batched_dense.make_step_dense_ll (solve_save_at_batched "
+            "dispatches there automatically) for d > 1"
         )
 
     def vf_jacs(args, t):
@@ -264,7 +272,7 @@ def make_step_ll(vf_batched, *, nu, d, strategy="fixedpoint",
             err_u = sigma * s_unit  # = ||z|| / sqrt(d)
         else:
             err_u = sigma * (p[0] * lq_norms[0])  # (1, B)
-        errn = err_u * jnp.sqrt(tol_acc / (1.0 * d))
+        errn = kappa * err_u * jnp.sqrt(tol_acc / (1.0 * d))
 
         if calibration == "dynamic":
             # finite ceiling: an overflowed attempt (z = inf during a wild
@@ -510,7 +518,8 @@ def _pallas_step(step_fn, interpret=False, lanes=LANES, num_state=NUM_STATE):
 
 
 def _pallas_interval(step_fn, interpret=False, lanes=LANES,
-                     num_state=NUM_STATE, max_attempts=100_000):
+                     num_state=NUM_STATE, max_attempts=100_000,
+                     active_fn=None):
     """One kernel per CHECKPOINT INTERVAL: the accept/reject while loop runs
     INSIDE the kernel.
 
@@ -522,12 +531,20 @@ def _pallas_interval(step_fn, interpret=False, lanes=LANES,
     globally slowest lane finishes).  Lanes already at the checkpoint are
     frozen inside ``step_fn``, so results are identical to the XLA-loop
     engine; the attempt cap is the same per-tile chip-hang guard.
+
+    ``active_fn(state, t_next) -> bool array`` marks lanes that still need
+    stepping; the default compares the plain time word.  Engines with a
+    compensated (hi, lo) time pair must pass a pair-aware predicate, or a
+    lane whose hi word rounds exactly onto ``t_next`` with ``lo < 0`` (i.e.
+    true time still short of the checkpoint) is dropped ~ulp/2 early.
     """
+    if active_fn is None:
+        active_fn = lambda s, t_next: s[0] < t_next  # noqa: E731
 
     def interval_body(state, t_next, atol, rtol, dt_max, dt_floor, tiny_scale):
         def cond(carry):
             s, k = carry
-            return jnp.any(s[0] < t_next) & (k < max_attempts)
+            return jnp.any(active_fn(s, t_next)) & (k < max_attempts)
 
         def body(carry):
             s, k = carry
@@ -692,7 +709,9 @@ def solve_save_at_batched(
     ode_order=1,
     correction="ts0",
     error_unit="qoi",
+    error_calibration=None,
     max_attempts=100_000,
+    implementation="isotropic",
 ):
     """Batched fixed-memory adaptive solve, fused step kernel.
 
@@ -719,6 +738,20 @@ def solve_save_at_batched(
             f"got {len(u0s_tuple)}"
         )
     b, d = u0s_tuple[0].shape
+    if implementation == "dense" or (correction == "ts1" and d > 1):
+        # full cross-derivative covariance (required for TS1 at d > 1):
+        # the dense lanes-last engine (O((nd)^3) unrolled ops; small d)
+        from .batched_dense import solve_save_at_batched_dense
+
+        return solve_save_at_batched_dense(
+            vf, u0s, params, save_at=save_at, dt0=dt0, tols=tols,
+            num_derivatives=num_derivatives, strategy=strategy,
+            calibration=calibration, atol_factor=atol_factor, engine=engine,
+            interpret=interpret, vf_vectorized=vf_vectorized, lanes=lanes,
+            hbm_budget=hbm_budget, ode_order=ode_order, correction=correction,
+            error_unit=error_unit, error_calibration=error_calibration,
+            max_attempts=max_attempts,
+        )
     check_hbm_budget(
         b, d, num_derivatives=num_derivatives, num_save_at=len(save_at),
         dtype=u0s_tuple[0].dtype, budget=hbm_budget,
@@ -726,10 +759,19 @@ def solve_save_at_batched(
     lane_width = lanes or min(LANES * 4, max(LANES, b))
     pad = (-b) % lane_width
     if pad:
-        u0s_tuple = tuple(
-            jnp.concatenate([u, jnp.tile(u[:1], (pad, 1))]) for u in u0s_tuple
+        # pad with the LOOSEST lane: engines iterate each tile to its
+        # slowest lane, so a tight-tolerance pad row would replicate the
+        # maximum step count across the whole pad
+        loosest = jnp.argmax(tols)
+
+        def _rep(u):
+            row = jax.lax.dynamic_slice_in_dim(u, loosest, 1, axis=0)
+            return jnp.concatenate([u, jnp.tile(row, (pad, 1))])
+
+        u0s_tuple = tuple(_rep(u) for u in u0s_tuple)
+        tols = jnp.concatenate(
+            [tols, jnp.broadcast_to(tols[loosest], (pad,))]
         )
-        tols = jnp.concatenate([tols, jnp.full((pad,), tols[0], tols.dtype)])
     bb = u0s_tuple[0].shape[0]
     dtype = u0s_tuple[0].dtype
     nu = num_derivatives
@@ -801,6 +843,7 @@ def solve_save_at_batched(
     step_ll = make_step_ll(
         vfb, nu=nu, d=d, strategy=strategy, calibration=calibration,
         ode_order=ode_order, correction=correction, error_unit=error_unit,
+        error_calibration=error_calibration,
     )
     if engine == "pallas-loop":
         # whole accept/reject loop inside the kernel: VMEM-resident state,

@@ -135,7 +135,7 @@ def _taylor_extrap_df(mean, dt, nu):
 
 def make_step_hi(vf_df, *, nu, d, strategy="fixedpoint", calibration="dynamic",
                  control=None, ode_order=1, correction="ts0",
-                 error_unit="qoi"):
+                 error_unit="qoi", error_calibration=None):
     """Lanes-last adaptive attempt with df32 mean/time/residual channels.
 
     ``vf_df`` takes (args, t) where args is a tuple of ``ode_order``
@@ -158,6 +158,11 @@ def make_step_hi(vf_df, *, nu, d, strategy="fixedpoint", calibration="dynamic",
     n2 = ctrl.power_proportional / (nu + 1.0)
     if error_unit not in ("qoi", "residual"):
         raise ValueError(f"error_unit must be 'qoi' or 'residual', got {error_unit!r}")
+    if error_calibration is None:
+        from .ivpsolvers import default_error_calibration
+
+        error_calibration = default_error_calibration(correction, error_unit)
+    kappa = float(error_calibration)
     ts1 = correction == "ts1"
     if ts1 and d != 1:
         raise NotImplementedError("ts1 in the hi engine covers d=1")
@@ -247,7 +252,7 @@ def make_step_hi(vf_df, *, nu, d, strategy="fixedpoint", calibration="dynamic",
             err_u = sigma * s_unit  # exp-3 residual protocol, cf. batched
         else:
             err_u = sigma * (p[0] * lq_norms[0])
-        errn = err_u * jnp.sqrt(tol_acc / (1.0 * d))
+        errn = kappa * err_u * jnp.sqrt(tol_acc / (1.0 * d))
 
         if calibration == "dynamic":
             # finite ceiling against inf covariance columns -> 0*inf = NaN
@@ -458,6 +463,7 @@ def make_hi_solver(
     ode_order=1,
     correction="ts0",
     error_unit="qoi",
+    error_calibration=None,
     dtype=jnp.float32,
     shard_mesh=None,
     shard_axis="batch",
@@ -517,13 +523,23 @@ def make_hi_solver(
         step_ll = make_step_hi(
             vf_df_, nu=nu, d=d, strategy=strategy, calibration=calibration,
             control=control, ode_order=ode_order, correction=correction,
-            error_unit=error_unit,
+            error_unit=error_unit, error_calibration=error_calibration,
         )
         lane_width = lanes or min(LANES * 4, max(LANES, bb))
+
+        # Pair-aware done predicate: a lane whose accepted step rounds t_hi
+        # exactly onto t_next with t_lo < 0 still has a positive remainder
+        # (step() snaps it on the next attempt, setting t_lo to exactly 0),
+        # so it must keep the loop alive; checking the hi word alone drops
+        # its checkpoint ~ulp(t)/2 early.
+        def _active_hi(s, t_next):
+            return (s[0] < t_next) | ((s[0] == t_next) & (s[1] < 0))
+
         if engine == "pallas-loop":
             interval_call = _pallas_interval(
                 step_ll, interpret=interpret, lanes=lane_width,
                 num_state=NUM_STATE_HI, max_attempts=max_attempts,
+                active_fn=_active_hi,
             )
             step_call = None
         elif engine == "pallas":
@@ -554,7 +570,7 @@ def make_hi_solver(
             else:
                 def cond(carry):
                     s, k = carry
-                    return jnp.any(s[0] < t_next) & (k < max_attempts)
+                    return jnp.any(_active_hi(s, t_next)) & (k < max_attempts)
 
                 def body(carry):
                     s, k = carry
@@ -680,9 +696,20 @@ def make_hi_solver(
         pad = (-b) % (lane_width * n_shards)
         tols_np = np.asarray(tols, np_dtype)
         if pad:
-            m0_hi = np.concatenate([m0_hi, np.tile(m0_hi[:1], (pad, 1, 1))])
-            m0_lo = np.concatenate([m0_lo, np.tile(m0_lo[:1], (pad, 1, 1))])
-            tols_np = np.concatenate([tols_np, np.full((pad,), tols_np[0], np_dtype)])
+            # pad with the LOOSEST lane (as make_bucketed_solver does): the
+            # engines iterate each tile to its slowest lane, so padding with
+            # the tightest-tolerance lane would replicate the maximum step
+            # count across up to lane_width*n_shards-1 wasted lanes
+            loosest = int(np.argmax(tols_np))
+            m0_hi = np.concatenate(
+                [m0_hi, np.tile(m0_hi[loosest : loosest + 1], (pad, 1, 1))]
+            )
+            m0_lo = np.concatenate(
+                [m0_lo, np.tile(m0_lo[loosest : loosest + 1], (pad, 1, 1))]
+            )
+            tols_np = np.concatenate(
+                [tols_np, np.full((pad,), tols_np[loosest], np_dtype)]
+            )
         (us, uf, nsteps) = jitted(
             jnp.asarray(m0_hi), jnp.asarray(m0_lo), jnp.asarray(tols_np)
         )

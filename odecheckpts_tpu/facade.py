@@ -49,6 +49,7 @@ def solve(
     calibrate: str = "dynamic",
     implementation: str = "isotropic",
     error_unit: str = "qoi",
+    error_calibration: float = None,
 ):
     """Checkpointed adaptive solve: O(#save_at) memory ("jit loop" solver).
 
@@ -64,9 +65,15 @@ def solve(
         implementation=implementation,
     )
     if family == "ts0":
-        correction = ivpsolvers.correction_ts0(ode_order=ode_order, error_unit=error_unit)
+        correction = ivpsolvers.correction_ts0(
+            ode_order=ode_order, error_unit=error_unit,
+            error_calibration=error_calibration,
+        )
     else:
-        correction = ivpsolvers.correction_ts1(ode_order=ode_order, error_unit=error_unit)
+        correction = ivpsolvers.correction_ts1(
+            ode_order=ode_order, error_unit=error_unit,
+            error_calibration=error_calibration,
+        )
     strategy = ivpsolvers.strategy_fixedpoint(prior, correction)
 
     if calibrate == "dynamic":

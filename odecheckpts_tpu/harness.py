@@ -76,6 +76,22 @@ def jit_and_time(fun: Callable) -> Callable:
     return fun_wrapped
 
 
+def timed_cold(fun: Callable, *args, **kwargs):
+    """One-shot wall clock INCLUDING compilation: caches are cleared first,
+    the call traces/compiles/runs fresh, and every output leaf is blocked on.
+    Returns (seconds, output).
+
+    This is the peak-memory-realistic protocol of the memory-scaling
+    experiment (/root/reference/experiments/4_brusselator/run.py:19,81):
+    cache reuse would hide the allocation profile of a cold solve.
+    """
+    jax.clear_caches()
+    t0 = time.perf_counter()
+    out = fun(*args, **kwargs)
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0, out
+
+
 def nbytes_of_tree(tree) -> int:
     flat, _ = jax.flatten_util.ravel_pytree(tree)
     return flat.nbytes

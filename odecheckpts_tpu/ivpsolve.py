@@ -163,6 +163,8 @@ def _make_step(vf, asolver: AdaptiveSolver, scale_fixed, dt_max=None):
     ctrl = asolver.control
     error_order = ssm.num_derivatives + 1
     fixedpoint = strategy.kind == _solvers.FIXEDPOINT
+    # local->global error calibration (step control only; posterior untouched)
+    kappa = strategy.correction.calibration_factor
 
     def step(s: _State) -> _State:
         dt = jnp.maximum(s.dt, _dt_floor(ssm, s.dt.dtype))
@@ -175,7 +177,7 @@ def _make_step(vf, asolver: AdaptiveSolver, scale_fixed, dt_max=None):
 
         u_pred = ssm.qoi(m_pred)
         tolerance = asolver.atol + asolver.rtol * jnp.abs(u_pred)
-        errn = jnp.sqrt(jnp.mean((err / tolerance) ** 2))
+        errn = kappa * jnp.sqrt(jnp.mean((err / tolerance) ** 2))
 
         if solver.calibration == _solvers.DYNAMIC:
             tiny = jnp.asarray(jnp.finfo(m_pred.dtype).tiny ** 0.5, m_pred.dtype)
@@ -342,6 +344,9 @@ def _full_precision(fn):
         with jax.default_matmul_precision("float32"):
             return fn(*args, **kwargs)
 
+    # Inspectable marker: tests assert EVERY adaptive driver carries this
+    # guard (it was silently dropped from one driver once — d7815fa).
+    wrapped.__full_precision__ = True
     return wrapped
 
 
@@ -364,6 +369,7 @@ def _validate_increasing(ts, name):
         raise ValueError(f"{name} must be strictly increasing")
 
 
+@_full_precision
 def solve_adaptive_save_at(vf, init, *, save_at, dt0, adaptive_solver):
     """Adaptive solve with O(#save_at) memory (the paper's flagship driver).
 
@@ -560,6 +566,7 @@ def compact_bounded_solution(solution: Solution, valid) -> Solution:
     )
 
 
+@_full_precision
 def solve_fixed_grid(
     vf, init, *, grid, solver, parallel=False, iterations=8, window=16,
     form="cov", warmstart=None, damping=0.0,
@@ -584,6 +591,13 @@ def solve_fixed_grid(
         return parallel_time.solve_fixed_grid_parallel(
             vf, init, grid=grid, solver=solver, iterations=iterations,
             window=window, form=form, warmstart=warmstart, damping=damping,
+        )
+    if form != "cov" or warmstart is not None or damping != 0.0:
+        raise ValueError(
+            "form/warmstart/damping configure the parallel-in-time sweep and "
+            "have no effect when parallel=False; pass parallel=True or drop "
+            f"them (got form={form!r}, warmstart={warmstart!r}, "
+            f"damping={damping!r})."
         )
     ssm = solver.ssm
     strategy = solver.strategy

@@ -179,3 +179,35 @@ def test_sharded_hi_engine_matches_unsharded():
     np.testing.assert_array_equal(np.asarray(us1[0]), np.asarray(us2[0]))
     np.testing.assert_array_equal(np.asarray(us1[1]), np.asarray(us2[1]))
     np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+
+
+def test_sharded_pallas_loop_interpret_matches_xla():
+    """shard_map x Pallas composition proven off-TPU (VERDICT round-2 #5):
+    the in-kernel accept/reject loop engine (interpret mode) under dp
+    sharding must match the sharded XLA engine."""
+    mesh = _mesh()
+    vf, (u0,), tspan, params = problems.rigid_body()
+    save_at = jnp.linspace(*tspan, num=5).astype(jnp.float32)
+    batch = 4 * len(jax.devices())
+    key = jax.random.PRNGKey(0)
+    u0s = jnp.asarray(
+        u0[None] * (1.0 + 0.05 * jax.random.normal(key, (batch, 3))),
+        jnp.float32,
+    )
+    tols = jnp.tile(jnp.asarray([1e-3, 1e-5], jnp.float32), batch // 2)
+    kw = dict(save_at=save_at, dt0=0.1, mesh=mesh)
+
+    s_xla = parallel.shard_fused_solve(vf, params, engine="xla", **kw)
+    s_pl = parallel.shard_fused_solve(
+        vf, params, engine="pallas-loop", interpret=True, lanes=2, **kw
+    )
+    u_x, _ufx, n_x = s_xla(
+        parallel.shard_along(u0s, mesh), parallel.shard_along(tols, mesh)
+    )
+    u_p, _ufp, n_p = s_pl(
+        parallel.shard_along(u0s, mesh), parallel.shard_along(tols, mesh)
+    )
+    np.testing.assert_allclose(
+        np.asarray(u_p), np.asarray(u_x), rtol=2e-4, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_x))
