@@ -166,6 +166,10 @@ def _sweep(dtype, rtols, batch, engine, *, sample, trace_dir=None):
                 "rmse_max_lane": rmse_max_lane,
                 "capped_lanes": capped,
                 "mean_steps": round(float(jnp.mean(n[:, -1].astype(jnp.float32))), 1),
+                "est_gflops": round(
+                    float(jnp.mean(n[:, -1].astype(jnp.float32)))
+                    * batch / elapsed * _flops_per_step() / 1e9, 1,
+                ),
                 "ref_seconds_per_solve": REF_SECONDS[rtol],
                 "speedup_vs_ref": round(batch / elapsed * REF_SECONDS[rtol], 1),
             }
@@ -180,6 +184,25 @@ class _null_ctx:
 
     def __exit__(self, *a):
         return False
+
+
+def _flops_per_step(nu=4, d=3, pair=False):
+    """Model-based useful-FLOP count of one accepted lanes-last step.
+
+    Dominant terms (n = nu+1; mul+add counted as 2):
+    * revert QR on (2n, 2n): ~2*(2n)^3 fused ops,
+    * fixedpoint compose: two (n, n) matmuls + a (2n, n) QR: ~6*n^3,
+    * mean extrapolation + correction + error: ~4*n^2*d + 30*n^2.
+    The df32 pair engine roughly doubles the mean-path work and keeps the
+    covariance path f32 (measured ~2.4x step cost at equal step counts);
+    folded in as a 2x factor.  Rejected attempts are NOT counted (num_steps
+    tracks accepted steps), so the reported rate is a useful-work lower
+    bound -- the point is to expose the VPU-bound ceiling (tiny-matrix QR
+    work, <1% MXU utilization by design), not to claim MFU.
+    """
+    n = nu + 1
+    flops = 2 * (2 * n) ** 3 + 6 * n**3 + 4 * n**2 * d + 30 * n**2
+    return flops * (2 if pair else 1)
 
 
 def _count_capped(num_steps):
@@ -243,6 +266,10 @@ def _sweep_hi(rtols, batch, *, sample, engine="pallas"):
                 "rmse_max_lane": rmse_max_lane,
                 "capped_lanes": capped,
                 "mean_steps": round(float(np.mean(np.asarray(n)[:, -1])), 1),
+                "est_gflops": round(
+                    float(np.mean(np.asarray(n)[:, -1]))
+                    * batch / elapsed * _flops_per_step(pair=True) / 1e9, 1,
+                ),
                 "ref_seconds_per_solve": REF_SECONDS[rtol],
                 "speedup_vs_ref": round(batch / elapsed * REF_SECONDS[rtol], 1),
             }
@@ -376,6 +403,7 @@ def main():
                 "rmse_max_over_rtol": round(rmse_over_rtol, 4),
                 "rmse_max_lane_over_rtol": round(lane_over_rtol, 4),
                 "capped_lanes": capped_total,
+                "est_gflops_max": max(r.get("est_gflops", 0.0) for r in rows),
                 "engine_match": (
                     None
                     if engine_rmse is None

@@ -78,7 +78,11 @@ def _qr_r_cols(cols, m, n):
     columns -- ~3x fewer element-touches than the masked full-matrix form.
     """
     eps = jnp.finfo(cols[0].dtype).tiny
-    rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    # iota broadcasts against columns of any rank (2-D (m, B) for the
+    # isotropic/dense engines, 3-D (m, d, B) for blockdiag channels)
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (m,) + (1,) * (cols[0].ndim - 1), 0
+    )
     for j in range(min(n, m - 1)):
         col = cols[j]
         below = (rows >= j).astype(col.dtype)
@@ -486,6 +490,7 @@ def _pallas_call_ll(body_fn, lanes, num_state, interpret):
             idx = {
                 2: lambda i: (0, i),
                 3: lambda i: (0, 0, i),
+                4: lambda i: (0, 0, 0, i),
             }[nd]
             return pl.BlockSpec(block, idx, memory_space=pltpu.VMEM)
 
@@ -738,6 +743,21 @@ def solve_save_at_batched(
             f"got {len(u0s_tuple)}"
         )
     b, d = u0s_tuple[0].shape
+    if implementation == "blockdiag":
+        # per-dimension (n, n) factors + per-dimension output scales
+        from .batched_blockdiag import solve_save_at_batched_blockdiag
+
+        if correction == "ts1":
+            raise ValueError("blockdiag supports ts0 corrections only")
+        return solve_save_at_batched_blockdiag(
+            vf, u0s, params, save_at=save_at, dt0=dt0, tols=tols,
+            num_derivatives=num_derivatives, strategy=strategy,
+            calibration=calibration, atol_factor=atol_factor, engine=engine,
+            interpret=interpret, vf_vectorized=vf_vectorized, lanes=lanes,
+            hbm_budget=hbm_budget, ode_order=ode_order,
+            error_unit=error_unit, error_calibration=error_calibration,
+            max_attempts=max_attempts,
+        )
     if implementation == "dense" or (correction == "ts1" and d > 1):
         # full cross-derivative covariance (required for TS1 at d > 1):
         # the dense lanes-last engine (O((nd)^3) unrolled ops; small d)

@@ -56,7 +56,18 @@ def _row1(x2, i):
 
 
 def _dblock(x, k, d):
-    """Rows [k*d, (k+1)*d) of an (nd, ..., B) stack."""
+    """Rows [k*d, (k+1)*d) of an (nd, ..., B) stack.
+
+    2-D (nd, B) stacks are sliced row-by-row and re-concatenated: a size-d
+    slice at an unaligned SUBLANE offset crashes Mosaic's vector-layout pass
+    (vector_extract_strided_slice: ``limits[i] <= dim(i)``), while size-1 row
+    slices lower fine (the isotropic engine relies on them).  On >=3-D
+    stacks axis 0 is an untiled leading dim and the direct slice is trivial.
+    """
+    if x.ndim == 2:
+        return jnp.concatenate(
+            [_row1(x, k * d + j) for j in range(d)], axis=0
+        )
     return jax.lax.slice_in_dim(x, k * d, (k + 1) * d, axis=0)
 
 
@@ -67,13 +78,14 @@ def _col(x3, c):
 
 def _rowscale(p, d, x):
     """Multiply rows of an (nd, ..., B) stack by the per-derivative scalars
-    ``p`` (list of n (1, B) arrays), repeated d times each."""
-    blocks = []
-    for i, pi in enumerate(p):
-        blk = _dblock(x, i, d)
-        pb = pi if blk.ndim == 2 else pi[:, None, :]
-        blocks.append(blk * pb)
-    return jnp.concatenate(blocks, axis=0)
+    ``p`` (list of n (1, B) arrays), repeated d times each.
+
+    Built as a full (nd, B) row-multiplier (concat of broadcasts) instead of
+    slicing ``x`` into blocks: no sublane-offset slices (Mosaic-safe)."""
+    rows = jnp.concatenate([pi for pi in p for _ in range(d)], axis=0)
+    if x.ndim == 2:
+        return x * rows
+    return x * rows[:, None, :]
 
 
 def _apply_a_blocks(a_rows, x, d, n):
@@ -135,16 +147,27 @@ def make_step_dense_ll(vf_batched, *, nu, d, strategy="fixedpoint",
 
     def vf_jacs(args, t):
         # J_k = d f / d u^(k) as a list (over k) of lists (over columns c)
-        # of (d, B) arrays: one unit-basis jvp per column, tracing to pure
-        # VPU ops for elementwise/row-indexed vector fields
+        # of (d, B) arrays: one unit-basis jvp per column.
+        #
+        # Mosaic workarounds (both measured on v5e): (a) ``.at[c].set``
+        # lowers to scatter (unimplemented) -- build the one-hot from an
+        # iota compare; (b) a CONSTANT one-hot tangent gets folded through
+        # the vf's row indexing into per-row constants whose vector.extract
+        # crashes the vector-layout pass ("limits[i] <= dim(i)") -- mask a
+        # TRACED ones array instead so nothing constant-folds.
         outs = []
         for k in range(o):
+            ones_t = jnp.ones_like(args[k]) + 0.0 * args[k]
+            zeros_t = 0.0 * args[k]
             cols = []
             for c in range(d):
                 def fk(a, _k=k):
                     return vf_batched(args[:_k] + (a,) + args[_k + 1 :], t)
 
-                onehot = jnp.zeros_like(args[k]).at[c, :].set(1.0)
+                rows_i = jax.lax.broadcasted_iota(
+                    jnp.int32, args[k].shape, 0
+                )
+                onehot = jnp.where(rows_i == c, ones_t, zeros_t)
                 _, jv = jax.jvp(fk, (args[k],), (onehot,))
                 cols.append(jv)
             outs.append(cols)
@@ -306,13 +329,13 @@ def make_step_dense_ll(vf_batched, *, nu, d, strategy="fixedpoint",
             g_bar = jnp.swapaxes(_tri_solve_upper_ll(r_yy, r_yx, nd), 0, 1)
             l_bwd_bar = jnp.swapaxes(r_xx, 0, 1) * magb
             l_pred = _rowscale(p, d, l_pred_bar)
-            gain = _rowscale(p, d, g_bar)
-            # column scaling by p_inv: gain[:, j*d+c] *= p_inv[j]
-            gcols = []
-            for j in range(n):
-                blkcols = jax.lax.slice_in_dim(gain, j * d, (j + 1) * d, axis=1)
-                gcols.append(blkcols * p_inv[j][:, None, :])
-            gain = jnp.concatenate(gcols, axis=1)
+            # column scaling by p_inv: gain[:, j*d+c] *= p_inv[j].  Built as
+            # a stacked (1, nd, B) row multiplier -- a middle-axis offset
+            # slice here crashes Mosaic's vector-layout pass.
+            p_inv_cols = jnp.stack(
+                [p_inv[col // d][0] for col in range(nd)], axis=0
+            )[None]  # (1, nd, B)
+            gain = _rowscale(p, d, g_bar) * p_inv_cols
             bwd_L_step = _rowscale(p, d, l_bwd_bar)
             bwd_m_step = mean - _matmul_rows(gain, m_pred[:, None, :], nd, nd)[:, 0, :]
         else:
@@ -582,7 +605,17 @@ def solve_save_at_batched_dense(
         b, n * d, num_derivatives=nu, num_save_at=len(save_at),
         dtype=u0s_tuple[0].dtype, budget=hbm_budget,
     )
-    lane_width = lanes or min(LANES * 4, max(LANES, b))
+    # VMEM-aware default tile width (multiples of the 128-lane vreg width):
+    # the in-kernel state carries ~7 dense (nd, nd, lanes) factors and the
+    # QR roughly doubles the live set; target ~4 MB so the pallas-loop
+    # engine's whole-interval state stays VMEM-resident (measured on v5e:
+    # nd=20 fits at 128 lanes, exhausts VMEM at 256)
+    if lanes is None:
+        per_lane = 14 * (n * d) ** 2 * jnp.dtype(u0s_tuple[0].dtype).itemsize
+        fit = (4 << 20) // max(per_lane, 1)
+        lane_width = max(LANES, min(LANES * 4, (fit // LANES) * LANES))
+    else:
+        lane_width = lanes
     pad = (-b) % lane_width
     if pad:
         loosest = jnp.argmax(tols)
