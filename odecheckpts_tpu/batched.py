@@ -111,14 +111,33 @@ def _qr_r_ll(x, m, n):
 
 
 def _tri_solve_upper_ll(r, b, n):
-    """Solve R X = B for upper-triangular (n, n, B) R and (n, n, B) B."""
+    """Solve R X = B for upper-triangular (n, n, B) R and (n, n, B) B.
+
+    COLLAPSED directions are zeroed: a rank-deficient covariance direction
+    (e.g. a blockdiag channel whose residual vanishes) drives ``r_ii``
+    toward subnormal, and TPU division flushes subnormal divisors to zero
+    -> inf gains -> NaN through the backward/smoother pass (observed on
+    v5e blockdiag anisotropic ensembles: ~60/4096 lanes NaN in the smoothed
+    output ONLY, CPU f32 bit-same program finite).  Since the columns are
+    pre-normalized to O(1), a diagonal below eps^2 (~1e-14 in f32) carries
+    no representable information -- the gain there is numerically 0/0, and
+    its bounded limit (zero update along a zero-variance prior direction)
+    is the output that keeps the backward mean finite AND accurate: a
+    sign-preserving floor instead leaves one knife-edge lane with finite
+    but ~300x-degraded smoothed output (measured 2.75e-2 rel error vs
+    1.1e-4 filtered on the same lane).
+    """
+    eps2 = jnp.asarray(float(jnp.finfo(r.dtype).eps) ** 2, r.dtype)
     rows = [None] * n
     for i in reversed(range(n)):
         acc = b[i]
         r_i = r[i]
         for j in range(i + 1, n):
             acc = acc - r_i[j][None, :] * rows[j]
-        rows[i] = acc / r_i[i][None, :]
+        d = r_i[i]
+        ok = jnp.abs(d) > eps2
+        d_safe = jnp.where(ok, d, jnp.ones_like(d))
+        rows[i] = jnp.where(ok[None, :], acc / d_safe[None, :], 0.0)
     return jnp.stack(rows, axis=0)
 
 

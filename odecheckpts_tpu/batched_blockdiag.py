@@ -384,7 +384,17 @@ def solve_save_at_batched_blockdiag(
         b, (nu + 1) * d, num_derivatives=nu, num_save_at=len(save_at),
         dtype=u0s_tuple[0].dtype, budget=hbm_budget,
     )
-    lane_width = lanes or min(LANES * 4, max(LANES, b))
+    # VMEM-aware default tile width (multiples of the 128-lane vreg width):
+    # measured on v5e (n=5, d=3): the pallas-loop kernel's scoped-VMEM live
+    # set — 13 (n, n, d, lane) state factors plus the QR column lists and
+    # Mosaic stack temporaries — is ~110 * n^2 * d floats per lane (32.5 KB;
+    # 512 lanes hit 16.25 MB against the 16 MB scoped limit).  Target 12 MB.
+    if lanes is None:
+        per_lane = 110 * (nu + 1) ** 2 * d * jnp.dtype(u0s_tuple[0].dtype).itemsize
+        fit = (12 << 20) // max(per_lane, 1)
+        lane_width = max(LANES, min(LANES * 4, (fit // LANES) * LANES))
+    else:
+        lane_width = lanes
     pad = (-b) % lane_width
     if pad:
         loosest = jnp.argmax(tols)

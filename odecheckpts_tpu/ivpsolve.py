@@ -567,6 +567,62 @@ def compact_bounded_solution(solution: Solution, valid) -> Solution:
 
 
 @_full_precision
+def solve_adaptive_parallel_in_time(
+    vf, init, *, t0, t1, dt0, adaptive_solver, max_steps,
+    iterations=8, window=16, form="sqrt", warmstart="rk", damping=0.0,
+):
+    """ADAPTIVE parallel-in-time solve: grid discovery + parallel re-solve.
+
+    The parallel-in-time sweep needs a fixed grid; adaptivity makes the grid
+    data-dependent.  This driver bridges the two (ROADMAP #9's adaptive
+    case): a sequential bounded save-every-step FILTER pass records the
+    accepted adaptive grid (cheap: terminal-memory state, no backward
+    factors), then ``solve_fixed_grid(parallel=True)`` re-solves on exactly
+    that grid with the windowed associative-scan sweep -- so step-size
+    selection stays sequential-quality while the expensive (strategy-rich,
+    iterated) solve runs parallel-in-time.  Eager between the passes (the
+    grid length is data-dependent), like the reference's eager every-step
+    driver (/root/reference/src/odecheckpts/ivpsolvers.py solve-and-save-
+    every-step usage).
+
+    Returns the fixed-grid Solution on the discovered grid.  The discovery
+    pass uses the FILTER strategy regardless of ``adaptive_solver``'s
+    strategy (only accepted times are kept); the re-solve uses the solver
+    exactly as given.
+    """
+    solver = adaptive_solver.solver
+    # grid discovery with a filter-strategy twin (terminal memory; the
+    # controller sees identical error estimates, so the grid matches the
+    # given solver's adaptive grid)
+    strat_f = _solvers.strategy_filter(solver.ssm, solver.strategy.correction)
+    solver_f = (
+        _solvers.solver_dynamic(strat_f)
+        if solver.calibration == _solvers.DYNAMIC
+        else _solvers.solver(strat_f)
+    )
+    asolver_f = adaptive(
+        solver_f, atol=adaptive_solver.atol, rtol=adaptive_solver.rtol,
+        control=adaptive_solver.control,
+    )
+    sol_f, (valid, _tail) = solve_adaptive_save_every_step_bounded(
+        vf, init, t0=t0, t1=t1, dt0=dt0, adaptive_solver=asolver_f,
+        max_steps=max_steps,
+    )
+    import numpy as np
+
+    ts = np.asarray(sol_f.t)[np.asarray(valid)]
+    t1_f = float(np.asarray(t1))
+    if ts[-1] < t1_f:
+        ts = np.concatenate([ts, [t1_f]])
+    grid = jnp.asarray(ts, sol_f.t.dtype)
+    return solve_fixed_grid(
+        vf, init, grid=grid, solver=solver, parallel=True,
+        iterations=iterations, window=window, form=form,
+        warmstart=warmstart, damping=damping,
+    )
+
+
+@_full_precision
 def solve_fixed_grid(
     vf, init, *, grid, solver, parallel=False, iterations=8, window=16,
     form="cov", warmstart=None, damping=0.0,

@@ -305,6 +305,35 @@ def test_bucketed_solve_pads_non_divisible_batches():
     np.testing.assert_array_equal(np.asarray(n_b), np.asarray(n_ref))
 
 
+def test_bucketed_pad_ts1_together():
+    """Pad + bucket + TS1 in one driver call: a non-divisible stiff-VdP
+    ensemble (ode_order=2, the reference's vdp.py:61-66 solver class) with
+    interleaved tolerances must reproduce the unbucketed per-lane results
+    exactly through the host-side sort/pad/reorder round trip."""
+    vf, (u0, du0), _tspan = problems.van_der_pol(mu=10.0)
+    save_at = jnp.linspace(0.0, 2.0, num=3)
+    b = 10  # not divisible by num_buckets=4 -> 2 pad lanes
+    key = jax.random.PRNGKey(7)
+    noise = 1e-2 * jax.random.normal(key, (b, 1), jnp.float64)
+    u0s = u0[None] * (1.0 + noise)
+    du0s = jnp.broadcast_to(du0[None], (b, 1)) + 0.1 * noise
+    # interleaved tolerance classes (worst case for the stable argsort)
+    tols = jnp.asarray([1e-4, 1e-7, 1e-5, 1e-6, 1e-4, 1e-7, 1e-5, 1e-6,
+                        1e-4, 1e-7])
+    kw = dict(save_at=save_at, dt0=0.01, engine="xla", ode_order=2,
+              correction="ts1", strategy="filter")
+    u_ref, _uf, n_ref = jax.jit(
+        lambda u, t: batched.solve_save_at_batched(
+            vf, u, (), tols=t, **kw
+        )
+    )((u0s, du0s), tols)
+    (u_b, _ufb, n_b), _bm = batched.solve_save_at_bucketed(
+        vf, (u0s, du0s), (), tols=tols, num_buckets=4, **kw
+    )
+    np.testing.assert_allclose(np.asarray(u_b), np.asarray(u_ref), rtol=1e-9)
+    np.testing.assert_array_equal(np.asarray(n_b), np.asarray(n_ref))
+
+
 def test_pallas_loop_interpret_matches_xla_engine():
     """engine="pallas-loop" (whole accept/reject loop inside the kernel):
     bit-identical step sequences to the per-attempt engines -- lanes at the

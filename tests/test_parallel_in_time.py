@@ -274,3 +274,42 @@ def test_rk_warmstart_accelerates_convergence():
     du_cold = float(jnp.max(jnp.abs(cold.u - seq.u)))
     assert du_warm < 5e-3, du_warm
     assert du_warm < du_cold / 10.0, (du_warm, du_cold)
+
+
+# -- adaptive parallel-in-time (grid discovery + parallel re-solve) -----------
+
+
+def test_adaptive_parallel_in_time_matches_sequential_resolve():
+    """solve_adaptive_parallel_in_time: the discovered grid must equal the
+    plain adaptive accepted grid, and the parallel re-solve must match the
+    sequential fixed-grid solve on that grid."""
+    vf, u0s, tspan, params = problems.rigid_body(time_span=(0.0, 6.0))
+    vf_p = lambda u, *, t: vf(u, t=t, p=params)  # noqa: E731
+    nu = 3
+    prior = ivpsolvers.prior_ibm(num_derivatives=nu, ode_shape=(3,))
+    strat = ivpsolvers.strategy_smoother(prior, ivpsolvers.correction_ts0())
+    solver = ivpsolvers.solver_dynamic(strat)
+    tcoeffs = taylor.odejet_padded_scan(lambda u: vf_p(u, t=tspan[0]), u0s, num=nu)
+    init = solver.initial_condition(tcoeffs, 1.0)
+    asolver = ivpsolve.adaptive(solver, atol=1e-7, rtol=1e-4)
+
+    sol_par = ivpsolve.solve_adaptive_parallel_in_time(
+        vf_p, init, t0=tspan[0], t1=tspan[1], dt0=0.1,
+        adaptive_solver=asolver, max_steps=256, iterations=6, window=8,
+        form="sqrt", warmstart="rk",
+    )
+    # oracle grid: the plain (eager) adaptive every-step drive
+    sol_seq = ivpsolve.solve_adaptive_save_every_step(
+        vf_p, init, t0=tspan[0], t1=tspan[1], dt0=0.1,
+        adaptive_solver=asolver,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_par.t), np.asarray(sol_seq.t), rtol=1e-9
+    )
+    # parallel == sequential on the SAME grid
+    sol_fix = ivpsolve.solve_fixed_grid(
+        vf_p, init, grid=sol_par.t, solver=solver
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_par.u), np.asarray(sol_fix.u), rtol=5e-5, atol=1e-7
+    )
