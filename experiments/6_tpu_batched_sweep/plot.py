@@ -4,7 +4,7 @@ Reads data_workprec_full.json (written by bench.py on real hardware) and
 renders workprec_tpu.pdf: (left) batched throughput vs rtol for the f32 and
 df32-pair fused Pallas engines against the reference's CPU rate on the same
 solver/problem; (right) the on-chip accuracy gate, RMSE/rtol per row, with
-the bench's 10x bound.  One measure per axis; hues follow the engine
+the bench's 3x bound.  One measure per axis; hues follow the engine
 identity (validated categorical palette), context lines stay neutral.
 
 Usage: python plot.py  (after bench.py; reads committed data otherwise)
@@ -65,8 +65,8 @@ ax_thru.set_title(
 )
 ax_thru.legend(fontsize=7, frameon=False)
 
-ax_acc.axhline(10.0, ls="--", lw=1.5, color=C_NEUTRAL)
-ax_acc.annotate("bench gate (10x)", xy=(rt_all[-1], 10.0), fontsize=7,
+ax_acc.axhline(3.0, ls="--", lw=1.5, color=C_NEUTRAL)
+ax_acc.annotate("bench gate (3x)", xy=(rt_all[-1], 3.0), fontsize=7,
                 color=C_NEUTRAL, va="bottom", ha="left")
 ax_acc.set_yscale("log")
 ax_acc.set_ylabel("RMSE / rtol (vs LSODA 1e-12)")
