@@ -6,13 +6,17 @@ experiment-1 workload shape: re-solving Van der Pol (TS1(4), dense, dynamic
 calibration) on an adaptive grid (reference protocol
 /root/reference/experiments/1_van_der_pol/vdp.py:88-103).
 
-Stiffness limitation (measured): at mu=1e3 the covariance-form element
+Defaults use the round-2c features that make the pass converge here:
+``form="sqrt"`` (QR element combination) and ``warmstart="rk"`` (RK4 mean
+sweep seeds prediction-consistent linearization points).
+
+Stiffness limitation (measured): at mu=1e3 even the sqrt-element
 combination exceeds f64 conditioning (TS1 entries ~mu stacked against
-Q(dt)^{-1} ~ dt^{-5}) and the within-window iteration diverges for every
-window size tried -- the known stiff-problem limit of parallel-in-time
-methods; the square-root (QR) element variant is the documented follow-up.
-The default benchmark therefore runs the mu=10 configuration on its own
-adaptive grid, where the parallel pass converges to the sequential result.
+Q(dt)^{-1} ~ dt^{-5}; see ROADMAP #3) and the within-window iteration
+diverges for every window size tried -- the known stiff-problem limit of
+parallel-in-time methods.  The default benchmark therefore runs the mu=10
+configuration on its own adaptive grid, where the parallel pass converges
+to the sequential result.
 """
 
 import argparse
@@ -36,7 +40,8 @@ import numpy as np  # noqa: E402
 from odecheckpts_tpu import ivpsolve, ivpsolvers, problems, taylor  # noqa: E402
 
 
-def main(window=16, iterations=12, mu=10.0, tol=1e-3):
+def main(window=16, iterations=12, mu=10.0, tol=1e-3, form="sqrt",
+         warmstart="rk"):
     here = os.path.dirname(__file__)
     vf, (u0, du0), (t0, t1) = problems.van_der_pol(mu=mu)
     nu = 4
@@ -74,7 +79,8 @@ def main(window=16, iterations=12, mu=10.0, tol=1e-3):
         jax.jit(
             lambda: ivpsolve.solve_fixed_grid(
                 vf, init, grid=grid, solver=solver, parallel=True,
-                iterations=iterations, window=window,
+                iterations=iterations, window=window, form=form,
+                warmstart=warmstart,
             )
         )
     )
@@ -84,6 +90,8 @@ def main(window=16, iterations=12, mu=10.0, tol=1e-3):
         "grid_points": int(len(grid)),
         "window": window,
         "iterations": iterations,
+        "form": form,
+        "warmstart": warmstart,
         "sequential_s": round(t_seq, 4),
         "parallel_s": round(t_par, 4),
         "speedup": round(t_seq / t_par, 3),
@@ -102,5 +110,8 @@ if __name__ == "__main__":
     ap.add_argument("--window", type=int, default=16)
     ap.add_argument("--iterations", type=int, default=12)
     ap.add_argument("--mu", type=float, default=10.0)
+    ap.add_argument("--form", default="sqrt")
+    ap.add_argument("--warmstart", default="rk")
     a = ap.parse_args()
-    main(window=a.window, iterations=a.iterations, mu=a.mu)
+    main(window=a.window, iterations=a.iterations, mu=a.mu, form=a.form,
+         warmstart=a.warmstart)

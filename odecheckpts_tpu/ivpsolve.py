@@ -570,6 +570,7 @@ def compact_bounded_solution(solution: Solution, valid) -> Solution:
 def solve_adaptive_parallel_in_time(
     vf, init, *, t0, t1, dt0, adaptive_solver, max_steps,
     iterations=8, window=16, form="sqrt", warmstart="rk", damping=0.0,
+    precondition=True,
 ):
     """ADAPTIVE parallel-in-time solve: grid discovery + parallel re-solve.
 
@@ -618,14 +619,15 @@ def solve_adaptive_parallel_in_time(
     return solve_fixed_grid(
         vf, init, grid=grid, solver=solver, parallel=True,
         iterations=iterations, window=window, form=form,
-        warmstart=warmstart, damping=damping,
+        warmstart=warmstart, damping=damping, precondition=precondition,
     )
 
 
 @_full_precision
 def solve_fixed_grid(
     vf, init, *, grid, solver, parallel=False, iterations=8, window=16,
-    form="cov", warmstart=None, damping=0.0,
+    form="cov", warmstart=None, damping=0.0, precondition=True,
+    deviation=True,
 ):
     """Non-adaptive solve on a user grid (any strategy), one ``lax.scan``.
 
@@ -647,6 +649,7 @@ def solve_fixed_grid(
         return parallel_time.solve_fixed_grid_parallel(
             vf, init, grid=grid, solver=solver, iterations=iterations,
             window=window, form=form, warmstart=warmstart, damping=damping,
+            precondition=precondition, deviation=deviation,
         )
     if form != "cov" or warmstart is not None or damping != 0.0:
         raise ValueError(

@@ -31,11 +31,29 @@ At convergence the window recursion satisfies exactly the sequential
 recursion l_k = Phi_k m_{k-1}, so results equal the sequential filter to
 floating-point reassociation error (tested within sqrt-eps).
 
-Numerics.  Elements are combined in covariance (not square-root) form:
-J-blocks scale like Q(dt)^{-1} ~ dt^{-(2(nu-o)+1)}, so this pass wants
-float64 (slow-but-correct on TPU); the sequential driver remains the
-f32-friendly path.  A square-root (QR-element) variant is the natural
-follow-up.
+Numerics.  Three element representations compose (each selectable, all on
+by default where they matter):
+
+* ``form="sqrt"`` combines QR factors (C = U U^T, J = Z Z^T), halving the
+  conditioning exponent of the covariance form's J ~ Q(dt)^{-2};
+* ``precondition=True`` combines each window in dt-scaled coordinates
+  (T(dt_w)^{-1} x), cancelling the dt^{-(2(nu-o)+1)} anisotropy of the
+  information pair exactly on uniform grids;
+* ``deviation=True`` carries the state RELATIVE to the linearization
+  trajectory (dx = x - lin): the observation value becomes exactly the
+  local residual -z and the transition drift the (small) prediction-filter
+  gap, so the MEAN path never forms H x ~ |J||x| cancellations -- this is
+  what makes stiff TS1 combinations float32-viable (measured: VdP mu=1e3
+  on a dt=2e-4 grid is finite at rel 5e-6 in f32 with deviation on, and
+  non-finite with it off).
+
+Remaining stiff limitation (measured, round 3): windows SPANNING a fast
+relaxation transition diverge in the nonlinear re-linearization iteration
+itself -- the affine-map contraction factor exceeds 1 regardless of the
+element representation (identical blow-ups with/without preconditioning at
+the VdP jump).  A stiffness-gated sequential fallback per window is the
+known fix; the adaptive drivers sidestep it in practice only when the grid
+resolves the transition AND windows stay short there.
 """
 
 from __future__ import annotations
@@ -141,16 +159,22 @@ def _combine(e_i, e_j):
     return (a, b, 0.5 * (c + c.T), eta, 0.5 * (j + j.T))
 
 
-def _element(phi, q, h, v):
-    """Filtering element of one step: transition x_k = Phi x_{k-1} + w,
-    w ~ N(0, Q), conditioned on the exact observation H x_k = v."""
+def _element(phi, q, h, v, drift=None):
+    """Filtering element of one step: transition x_k = Phi x_{k-1} + c + w,
+    w ~ N(0, Q) (``drift`` c defaults to 0), conditioned on the exact
+    observation H x_k = v."""
     s = h @ q @ h.T  # innovation covariance (r, r)
     k_gain = _solve_qr(s, h @ q).T  # (m, r)
     i_kh = jnp.eye(phi.shape[-1], dtype=phi.dtype) - k_gain @ h
     a = i_kh @ phi
-    b = k_gain @ v
+    if drift is None:
+        b = k_gain @ v
+        v_eff = v
+    else:
+        b = i_kh @ drift + k_gain @ v
+        v_eff = v - h @ drift
     c = i_kh @ q @ i_kh.T  # exact observation: (I-KH) Q (I-KH)^T
-    eta = phi.T @ h.T @ _solve_qr(s, v)
+    eta = phi.T @ h.T @ _solve_qr(s, v_eff)
     j = phi.T @ h.T @ _solve_qr(s, h @ phi)
     return (a, b, 0.5 * (c + c.T), eta, 0.5 * (j + j.T))
 
@@ -172,8 +196,9 @@ def _identity_element(m_dim, c_dim, dtype):
 # covariance form squares Q(dt)^{-1} and needs f64).
 
 
-def _element_sqrt(phi, qc, h, v):
-    """Sqrt filtering element of one step (same semantics as _element)."""
+def _element_sqrt(phi, qc, h, v, drift=None):
+    """Sqrt filtering element of one step (same semantics as _element;
+    ``drift`` c adds a known offset to the transition mean)."""
     m = phi.shape[-1]
     r = h.shape[0]
     g = h @ qc  # (r, m): S = g g^T
@@ -181,11 +206,16 @@ def _element_sqrt(phi, qc, h, v):
     k_gain = qc @ _psolve(r_s, g).T  # Q H^T S^-1  (m, r)
     i_kh = jnp.eye(m, dtype=phi.dtype) - k_gain @ h
     a = i_kh @ phi
-    b = k_gain @ v
+    if drift is None:
+        b = k_gain @ v
+        v_eff = v
+    else:
+        b = i_kh @ drift + k_gain @ v
+        v_eff = v - h @ drift
     u = i_kh @ qc  # C = (I-KH) Q (I-KH)^T exactly (exact observation)
     z_r = _rsolve_upper(phi.T @ h.T, r_s)  # (m, r): J = z_r z_r^T
     z = jnp.concatenate([z_r, jnp.zeros((m, m - r), phi.dtype)], axis=-1)
-    eta = phi.T @ (h.T @ _psolve(r_s, v))
+    eta = phi.T @ (h.T @ _psolve(r_s, v_eff))
     return (a, b, u, eta, z)
 
 
@@ -348,7 +378,7 @@ def _warmstart_rk(vf, ssm, rv0_mean, grid, o, nu):
 
 def solve_fixed_grid_parallel(
     vf, init, *, grid, solver, iterations=8, window=16, form="cov",
-    warmstart=None, damping=0.0,
+    warmstart=None, damping=0.0, precondition=True, deviation=True,
 ):
     """Fixed-grid solve, parallel-in-time within windows.
 
@@ -372,6 +402,17 @@ def solve_fixed_grid_parallel(
     converges to a spurious fixed point.  ``damping`` in [0, 1): fraction of
     the previous linearization kept per sweep (0 = undamped), for dynamics
     where the undamped iteration oscillates.
+
+    ``precondition=True`` (ROADMAP #3): combine each window's elements in
+    the dt-preconditioned coordinates x_hat = T(dt_w)^{-1} x, where T is the
+    step preconditioner diag(sqrt(dt) dt^(nu-i)/(nu-i)!) at the window's
+    (log-mean) dt.  In those coordinates Phi-hat is the dt-free Pascal
+    matrix and Qc-hat is O(1), so the information pair's dt^{-(2(nu-o)+1)}
+    anisotropy (the conditioning term that diverges on stiff fine grids,
+    ~1e20 at VdP-mu=1e3 step sizes) cancels EXACTLY on uniform grids and to
+    the dt-spread on adaptive ones; the remaining exposure is the physical
+    ~|J|^2 anisotropy of the observation row.  Marginals are transformed
+    back per window, so results are identical in exact arithmetic.
     """
     if form not in ("cov", "sqrt"):
         raise ValueError(f"form must be 'cov' or 'sqrt', got {form!r}")
@@ -383,11 +424,13 @@ def solve_fixed_grid_parallel(
         return _solve_fixed_grid_parallel(
             vf, init, grid=grid, solver=solver, iterations=iterations,
             window=window, form=form, warmstart=warmstart, damping=damping,
+            precondition=precondition, deviation=deviation,
         )
 
 
 def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
-                               form="cov", warmstart=None, damping=0.0):
+                               form="cov", warmstart=None, damping=0.0,
+                               precondition=True, deviation=True):
     from .ivpsolve import Solution, _validate_increasing
 
     ssm = solver.ssm
@@ -442,13 +485,21 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         return z[:, None] if c_dim == 1 else z[None, :]
 
     make_element = (
-        (lambda phi, qc, h, v: _element(phi, qc @ qc.T, h, v))
+        (lambda phi, qc, h, v, drift=None: _element(phi, qc @ qc.T, h, v, drift))
         if form == "cov"
         else _element_sqrt
     )
     combine = _combine if form == "cov" else _combine_sqrt
 
-    def element_one(lin, t, dt, ok):
+    # per-window preconditioning (ROADMAP #3): expand the derivative-axis
+    # scaling p to the element state dimension (dense states are ordered
+    # derivative-major in d-blocks, kron(phi_n, I_d))
+    def _expand_p(p):
+        if m_dim == ssm.n:
+            return p
+        return jnp.repeat(p, m_dim // ssm.n)
+
+    def element_one(lin, r_prev_c, t, dt, ok, pv, pinv):
         _, cache = ssm.extrapolate_mean(lin, dt)  # only the cache (p, p_inv)
         z, jacs = _solvers.linearize(strategy, vf, lin, t)
         sigma, _err = _solvers.error_and_scale(strategy, z, jacs, cache)
@@ -457,9 +508,37 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         else:
             scale = scale_none
         phi, qc, h = materialize(dt, scale, jacs, o)
-        v = h @ to_cols(lin) - _z_cols(z)  # exact observation H x_k = v
-        el = make_element(phi, qc, h, v)
-        el = jax.tree.map(lambda x, i: jnp.where(ok, x, i), el, ident)
+        if deviation:
+            # deviation state dx_k = x_k - r_k with reference r_k = lin_k:
+            # the observation value is exactly -z (the local residual) and
+            # the transition drift c = Phi r_{k-1} - r_k is the (small)
+            # prediction-filter gap -- every mean-path quantity stays
+            # O(residual), which is what keeps stiff combinations viable in
+            # f32 (H x ~ |J||x| cancellation otherwise eats the mean).
+            drift = phi @ r_prev_c - to_cols(lin)
+            v = -_z_cols(z)
+        else:
+            drift = None
+            v = h @ to_cols(lin) - _z_cols(z)  # exact observation H x_k = v
+        if precondition:
+            # x_hat = T^-1 x: H-hat x-hat = H x = v unchanged
+            phi = pinv[:, None] * phi * pv[None, :]
+            qc = pinv[:, None] * qc
+            h = h * pv[None, :]
+            if drift is not None:
+                drift = pinv[:, None] * drift
+        el = make_element(phi, qc, h, v, drift)
+        if deviation:
+            # padded slots must be PHYSICAL identities: dx carries through
+            # with the reference shift r_{k-1} - r_k as drift
+            ident_k = (
+                ident[0],
+                pinv[:, None] * (r_prev_c - to_cols(lin)),
+                ident[2], ident[3], ident[4],
+            )
+        else:
+            ident_k = ident
+        el = jax.tree.map(lambda x, i: jnp.where(ok, x, i), el, ident_k)
         return el, jnp.where(ok, scale, scale_none), sigma
 
     def marginal_from_prefix(prefix, m0c, p0):
@@ -482,14 +561,48 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         m0c, p0 = carry  # p0: covariance ("cov") or its factor ("sqrt")
         ts_k, dts_k, ok_k = inputs[:3]
 
+        if precondition:
+            # representative dt: log-mean over the window's valid steps
+            n_ok = jnp.maximum(jnp.sum(ok_k), 1)
+            dt_ref = jnp.exp(
+                jnp.sum(jnp.where(ok_k, jnp.log(dts_k), 0.0)) / n_ok
+            )
+            p_nu, pinv_nu = prior.preconditioner(dt_ref, ssm.num_derivatives)
+            pv, pinv = _expand_p(p_nu), _expand_p(pinv_nu)
+        else:
+            pv = pinv = jnp.ones((m_dim,), dtype)
+        # carry into hat coordinates for this window
+        m0c_h = pinv[:, None] * m0c
+        p0_h = (
+            pinv[:, None] * p0 * pinv[None, :]
+            if form == "cov"
+            else pinv[:, None] * p0
+        )
+
         def sweep(lin, _):
-            els, scales, _sigmas = jax.vmap(element_one)(lin, ts_k, dts_k, ok_k)
+            r_cols = jax.vmap(to_cols)(lin)  # deviation references r_k
+            r_prev = jnp.concatenate([m0c[None], r_cols[:-1]])
+            els, scales, _sigmas = jax.vmap(
+                element_one, in_axes=(0, 0, 0, 0, 0, None, None)
+            )(lin, r_prev, ts_k, dts_k, ok_k, pv, pinv)
             prefix = jax.lax.associative_scan(
                 lambda e_i, e_j: jax.vmap(combine)(e_i, e_j), els
             )
-            means_c, covs = jax.vmap(
-                lambda pk: marginal(pk, m0c, p0)
+            m0_for_marg = (
+                jnp.zeros_like(m0c_h) if deviation else m0c_h
+            )  # dx_0 = x_0 - r_0 = 0 (r_0 is the window-start mean)
+            means_ch, covs_h = jax.vmap(
+                lambda pk: marginal(pk, m0_for_marg, p0_h)
             )(prefix)
+            # back to physical coordinates
+            means_c = pv[None, :, None] * means_ch
+            if deviation:
+                means_c = means_c + r_cols
+            covs = (
+                pv[None, :, None] * covs_h * pv[None, None, :]
+                if form == "cov"
+                else pv[None, :, None] * covs_h
+            )
             means = jax.vmap(from_cols)(means_c)
             # next linearization: l_k = Phi_k m_{k-1}, m_0 = window start
             m_prev = jnp.concatenate([from_cols(m0c)[None], means[:-1]])
