@@ -1,0 +1,143 @@
+"""Parallel-in-time wall-clock crossover on TPU (ROADMAP #4).
+
+The round-2c measurement (rigid body, f64, T=512/win16: seq 0.14 s vs par
+2.0 s) ran the sweep in the regime where parallel-in-time CANNOT win: with
+window w and k re-linearization iterations the sweep's sequential depth is
+(T/w) * k * log2(w) combine levels vs the sequential filter's T steps --
+at w=16, k=8 that is ~8 levels per step, each level more expensive than a
+step.  The winning regime is LARGE windows + FEW iterations: w=1024, k=2
+(RK warm start) gives T/1024 * 2 * 10 = T/51 levels, a ~50x depth cut.
+Round 3's per-window dt preconditioning + sqrt elements are what make
+w >= 256 numerically viable (the information pair's dt^-(2nu-2o+1)
+anisotropy previously overflowed the combines at w=64, ROADMAP #4).
+
+This script measures exactly that: rigid body (reference problem family,
+/root/reference/experiments/2_workprec_simple/run_simple.py) on fixed grids
+T in {4097, 16385}, TPU float32 (the native dtype; the deviation form keeps
+f32 viable), sequential `solve_fixed_grid` vs `parallel=True` across
+window/iteration settings, median-of-5 wall-clock after a warmup call, plus
+the max relative deviation of the parallel solution from the sequential one
+on the same grid.
+
+Usage: python pit_crossover.py [--reps 5]
+Writes data_pit_crossover.json next to this script.
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+
+import jax
+
+if os.environ.get("ODECKPT_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["ODECKPT_PLATFORM"])
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from odecheckpts_tpu import ivpsolve, ivpsolvers, problems, taylor  # noqa: E402
+
+
+def _build(nu=3):
+    vf_p, u0s, tspan, params = problems.rigid_body(time_span=(0.0, 50.0))
+
+    def vf(u, *, t):
+        return vf_p(u, t=t, p=params)
+
+    prior = ivpsolvers.prior_ibm(num_derivatives=nu, ode_shape=(3,))
+    strat = ivpsolvers.strategy_filter(prior, ivpsolvers.correction_ts0())
+    solver = ivpsolvers.solver_dynamic(strat)
+    tcoef = taylor.odejet_padded_scan(lambda u: vf(u, t=tspan[0]), u0s, num=nu)
+    init = solver.initial_condition(tcoef, 1.0)
+    return vf, init, tspan, solver
+
+
+def _time(fn, *args, reps):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--sizes", type=int, nargs="*", default=[4097, 16385])
+    args = ap.parse_args(argv)
+
+    vf, init, tspan, solver = _build()
+    results = []
+    for t_n in args.sizes:
+        grid = jnp.linspace(tspan[0], tspan[1], t_n, dtype=jnp.float32)
+        init32 = jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.float32)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+            else a,
+            init,
+        )
+
+        seq = jax.jit(
+            lambda g, i: ivpsolve.solve_fixed_grid(vf, i, grid=g, solver=solver)
+        )
+        t_seq, sol_seq = _time(seq, grid, init32, reps=args.reps)
+        u_seq = np.asarray(sol_seq.u)
+        print(f"T={t_n}  sequential: {t_seq * 1e3:9.2f} ms")
+        results.append(
+            {"T": t_n, "mode": "sequential", "time_s": t_seq}
+        )
+
+        for window, iters in [(256, 2), (1024, 2), (1024, 3), (4096, 2)]:
+            if window >= t_n:
+                continue
+
+            def par(g, i, _w=window, _k=iters):
+                return ivpsolve.solve_fixed_grid(
+                    vf, i, grid=g, solver=solver, parallel=True,
+                    window=_w, iterations=_k, warmstart="rk", form="sqrt",
+                )
+
+            t_par, sol_par = _time(jax.jit(par), grid, init32, reps=args.reps)
+            rel = float(
+                np.max(np.abs(np.asarray(sol_par.u) - u_seq))
+                / max(np.max(np.abs(u_seq)), 1e-30)
+            )
+            ratio = t_seq / t_par
+            print(
+                f"T={t_n}  parallel w={window:5d} k={iters}: "
+                f"{t_par * 1e3:9.2f} ms  seq/par={ratio:5.2f}x  rel={rel:.2e}"
+            )
+            results.append(
+                {
+                    "T": t_n,
+                    "mode": "parallel",
+                    "window": window,
+                    "iterations": iters,
+                    "time_s": t_par,
+                    "speedup_vs_seq": ratio,
+                    "rel_vs_seq": rel,
+                }
+            )
+
+    out = {
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "results": results,
+    }
+    path = pathlib.Path(__file__).parent / "data_pit_crossover.json"
+    path.write_text(json.dumps(out, indent=2))
+    print(f"wrote {path}")
+    return out
+
+
+if __name__ == "__main__":
+    main()

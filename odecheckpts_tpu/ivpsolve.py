@@ -627,7 +627,7 @@ def solve_adaptive_parallel_in_time(
 def solve_fixed_grid(
     vf, init, *, grid, solver, parallel=False, iterations=8, window=16,
     form="cov", warmstart=None, damping=0.0, precondition=True,
-    deviation=True,
+    deviation=True, fallback_rtol=1.0,
 ):
     """Non-adaptive solve on a user grid (any strategy), one ``lax.scan``.
 
@@ -650,6 +650,7 @@ def solve_fixed_grid(
             vf, init, grid=grid, solver=solver, iterations=iterations,
             window=window, form=form, warmstart=warmstart, damping=damping,
             precondition=precondition, deviation=deviation,
+            fallback_rtol=fallback_rtol,
         )
     if form != "cov" or warmstart is not None or damping != 0.0:
         raise ValueError(

@@ -47,13 +47,18 @@ by default where they matter):
   on a dt=2e-4 grid is finite at rel 5e-6 in f32 with deviation on, and
   non-finite with it off).
 
-Remaining stiff limitation (measured, round 3): windows SPANNING a fast
+Remaining stiff limitation and its gate (round 3): windows SPANNING a fast
 relaxation transition diverge in the nonlinear re-linearization iteration
 itself -- the affine-map contraction factor exceeds 1 regardless of the
 element representation (identical blow-ups with/without preconditioning at
-the VdP jump).  A stiffness-gated sequential fallback per window is the
-known fix; the adaptive drivers sidestep it in practice only when the grid
-resolves the transition AND windows stay short there.
+the VdP jump).  ``fallback_rtol`` (default 1.0) gates a per-window
+SEQUENTIAL fallback on exactly that failure: if the final sweep's proposed
+re-linearization moved by more than ``fallback_rtol`` relative to the
+trajectory scale (or went non-finite), the window re-runs as the plain
+sequential filter under ``lax.cond`` -- divergence is pathological, so the
+loose default never fires on converging windows (bit-identical results to
+the ungated pass there), while stiff VdP grids that previously went NaN
+now complete with only the jump-spanning windows serialized.
 """
 
 from __future__ import annotations
@@ -379,6 +384,7 @@ def _warmstart_rk(vf, ssm, rv0_mean, grid, o, nu):
 def solve_fixed_grid_parallel(
     vf, init, *, grid, solver, iterations=8, window=16, form="cov",
     warmstart=None, damping=0.0, precondition=True, deviation=True,
+    fallback_rtol=1.0,
 ):
     """Fixed-grid solve, parallel-in-time within windows.
 
@@ -425,12 +431,14 @@ def solve_fixed_grid_parallel(
             vf, init, grid=grid, solver=solver, iterations=iterations,
             window=window, form=form, warmstart=warmstart, damping=damping,
             precondition=precondition, deviation=deviation,
+            fallback_rtol=fallback_rtol,
         )
 
 
 def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
                                form="cov", warmstart=None, damping=0.0,
-                               precondition=True, deviation=True):
+                               precondition=True, deviation=True,
+                               fallback_rtol=1.0):
     from .ivpsolve import Solution, _validate_increasing
 
     ssm = solver.ssm
@@ -613,6 +621,54 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
                 lin_next = damping * lin + (1.0 - damping) * lin_next
             return lin_next, (means, covs, scales)
 
+        def run_sequential(_):
+            """Stiffness-gated fallback: the plain sequential filter over
+            this window's steps (re-linearizing at the running predicted
+            mean).  Used when the window's affine iteration diverges --
+            windows spanning a fast transition have a linearization-map
+            contraction factor > 1 that no element representation fixes."""
+            if form == "cov":
+                eps = jnp.finfo(dtype).eps
+                jit0 = eps * jnp.maximum(jnp.trace(p0), 1.0)
+                chol0 = _cholesky_small(p0 + jit0 * eye_m)
+            else:
+                chol0 = p0
+            rv_w = Normal(from_cols(m0c), chol0)
+
+            def seq_step(rv, inp):
+                t_k, dt_k, ok_1 = inp
+                m_pred, cache = ssm.extrapolate_mean(rv.mean, dt_k)
+                z, jacs = _solvers.linearize(strategy, vf, m_pred, t_k)
+                sigma, _err = _solvers.error_and_scale(strategy, z, jacs, cache)
+                if solver.calibration == _solvers.DYNAMIC:
+                    scale = jnp.maximum(sigma, tiny)
+                else:
+                    scale = scale_none
+                rv_pred, _bwd = ssm.extrapolate_cov(
+                    rv, m_pred, cache, scale, False
+                )
+                rv_cor, _obs = _solvers.correct(strategy, rv_pred, z, jacs)
+                rv_new = jax.tree.map(
+                    lambda a, b: jnp.where(ok_1, a, b), rv_cor, rv
+                )
+                scale = jnp.where(ok_1, scale, scale_none)
+                cov_repr = (
+                    rv_new.cholesky @ rv_new.cholesky.T
+                    if form == "cov"
+                    else rv_new.cholesky
+                )
+                return rv_new, (rv_new.mean, cov_repr, scale)
+
+            rv_end, (means_s, covs_s, scales_s) = jax.lax.scan(
+                seq_step, rv_w, (ts_k, dts_k, ok_k)
+            )
+            p_end_s = (
+                rv_end.cholesky @ rv_end.cholesky.T
+                if form == "cov"
+                else rv_end.cholesky
+            )
+            return (to_cols(rv_end.mean), p_end_s), (means_s, covs_s, scales_s)
+
         if warmstart is not None:
             lin0 = inputs[3]
         else:
@@ -620,7 +676,37 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
             # windows keep the iteration inside its contraction region
             lin0 = jnp.broadcast_to(from_cols(m0c), (w,) + rv0.mean.shape)
         lin_fin, _ = jax.lax.scan(sweep, lin0, None, length=max(iterations - 1, 1))
-        _, (means, covs, scales) = sweep(lin_fin, None)
+        lin_ret, (means, covs, scales) = sweep(lin_fin, None)
+        if fallback_rtol is not None:
+            # divergence gate: at convergence the final sweep's proposed
+            # re-linearization equals its input to iteration tolerance.
+            # Elementwise relative (1 + |lin|) scaling: higher-derivative
+            # rows converge slower but are large themselves; a diverging
+            # window's delta explodes by many decades, so the loose default
+            # separates cleanly without firing on slow convergence.
+            # only derivative rows 0..o enter the elements (residual +
+            # Jacobian); higher rows of the linearization are free to wander
+            # without affecting anything, so the gate ignores them
+            if lin_ret.ndim == 3:  # isotropic mean layout (w, n, d)
+                lr, lf = lin_ret[:, : o + 1], lin_fin[:, : o + 1]
+                okb = ok_k[:, None, None]
+            else:  # dense column layout (w, n*d), derivative-major
+                ncols = (o + 1) * (m_dim // ssm.n)
+                lr, lf = lin_ret[:, :ncols], lin_fin[:, :ncols]
+                okb = ok_k[:, None]
+            rel = jnp.abs(lr - lf) / (1.0 + jnp.abs(lf))
+            delta = jnp.max(jnp.where(okb, rel, 0.0))
+            diverged = ~jnp.isfinite(delta) | (delta > fallback_rtol)
+            (m_end_d, p_end_d), outs = jax.lax.cond(
+                diverged,
+                run_sequential,
+                lambda _: (
+                    (to_cols(means[-1]), covs[-1]),
+                    (means, covs, scales),
+                ),
+                None,
+            )
+            return (m_end_d, p_end_d), outs
         # identity padding makes the last prefix equal the last VALID state
         m_end = to_cols(means[-1])
         p_end = covs[-1]

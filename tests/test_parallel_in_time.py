@@ -412,3 +412,51 @@ def test_deviation_form_makes_stiff_ts1_f32_viable():
         assert rel < 1e-4, rel
     finally:
         _jax.config.update("jax_enable_x64", x64_was)
+
+
+@pytest.mark.slow
+def test_stiffness_gated_sequential_fallback():
+    """Windows spanning a fast VdP transition diverge in the
+    re-linearization iteration (representation-independent, the round-3
+    diagnosis); the fallback gate re-runs exactly those windows with the
+    sequential filter.  Previously this configuration went non-finite."""
+    mu = 100.0
+    vf, (u0, du0), _ts = problems.van_der_pol(mu=mu)
+    nu = 4
+    prior = ivpsolvers.prior_ibm(
+        num_derivatives=nu, ode_shape=(1,), implementation="dense"
+    )
+    strat = ivpsolvers.strategy_filter(
+        prior, ivpsolvers.correction_ts1(ode_order=2)
+    )
+    solver = ivpsolvers.solver_dynamic(strat)
+    tco = taylor.odejet_padded_scan(
+        lambda *y: vf(*y, t=0.0), (u0, du0), num=nu - 1
+    )
+    init = solver.initial_condition(tco, 1.0)
+    grid = jnp.linspace(0.0, 1.0, 1025)  # spans the first relaxation jump
+    sol_seq = ivpsolve.solve_fixed_grid(vf, init, grid=grid, solver=solver)
+    sol_par = ivpsolve.solve_fixed_grid(
+        vf, init, grid=grid, solver=solver, parallel=True,
+        iterations=8, window=16, form="sqrt", warmstart="rk",
+    )
+    u = np.asarray(sol_par.u)
+    assert np.all(np.isfinite(u))
+    du = np.max(np.abs(u - np.asarray(sol_seq.u)))
+    assert du < 5e-2, du  # iteration-convergence level on this grid
+    # the gate must be bit-silent where the iteration converges
+    vfr, u0sr, tspanr, paramsr = problems.rigid_body()
+    vf_r = lambda u, *, t: vfr(u, t=t, p=paramsr)  # noqa: E731
+    prior_r = ivpsolvers.prior_ibm(num_derivatives=3, ode_shape=(3,))
+    strat_r = ivpsolvers.strategy_filter(prior_r, ivpsolvers.correction_ts0())
+    solver_r = ivpsolvers.solver_dynamic(strat_r)
+    tco_r = taylor.odejet_padded_scan(
+        lambda u: vf_r(u, t=tspanr[0]), u0sr, num=3
+    )
+    init_r = solver_r.initial_condition(tco_r, 1.0)
+    grid_r = jnp.linspace(*tspanr, 161)
+    kw = dict(grid=grid_r, solver=solver_r, parallel=True, iterations=8,
+              window=16, form="sqrt")
+    a = ivpsolve.solve_fixed_grid(vf_r, init_r, **kw)
+    b = ivpsolve.solve_fixed_grid(vf_r, init_r, fallback_rtol=None, **kw)
+    np.testing.assert_array_equal(np.asarray(a.u), np.asarray(b.u))
