@@ -5,11 +5,22 @@ The round-2c measurement (rigid body, f64, T=512/win16: seq 0.14 s vs par
 window w and k re-linearization iterations the sweep's sequential depth is
 (T/w) * k * log2(w) combine levels vs the sequential filter's T steps --
 at w=16, k=8 that is ~8 levels per step, each level more expensive than a
-step.  The winning regime is LARGE windows + FEW iterations: w=1024, k=2
-(RK warm start) gives T/1024 * 2 * 10 = T/51 levels, a ~50x depth cut.
-Round 3's per-window dt preconditioning + sqrt elements are what make
-w >= 256 numerically viable (the information pair's dt^-(2nu-2o+1)
-anisotropy previously overflowed the combines at w=64, ROADMAP #4).
+step.  The winning regime (round 3, measured on CPU first):
+
+* LARGE windows, bounded by TIME SPAN not step count: the window
+  re-linearization iteration contracts only while the window spans ~1
+  Lipschitz time of the dynamics (rigid body: ~1 time unit); past that it
+  diverges at any grid resolution and the ``fallback_rtol`` gate serializes
+  the window.  So the crossover needs FINE grids: T=16385 over [0, 10]
+  puts 1024 steps inside 0.6 time units.
+* FEW iterations via the RK warm start -- and a STRIDED warm start
+  (``warmstart="rk:16"``), because the stride-1 RK4 scan is itself a
+  T-deep sequential chain that would cap the achievable speedup.
+* The per-window sigma floor (sqrt(eps) * sigma_max) that keeps the f32
+  combines non-singular once the warm start is rounding-level accurate.
+
+Net sequential depth: T/16 (strided warm start) + (T/w) * k * log2(w)
+levels vs T steps -- ~10x fewer for w=1024, k=2.
 
 This script measures exactly that: rigid body (reference problem family,
 /root/reference/experiments/2_workprec_simple/run_simple.py) on fixed grids
@@ -44,7 +55,7 @@ from odecheckpts_tpu import ivpsolve, ivpsolvers, problems, taylor  # noqa: E402
 
 
 def _build(nu=3):
-    vf_p, u0s, tspan, params = problems.rigid_body(time_span=(0.0, 50.0))
+    vf_p, u0s, tspan, params = problems.rigid_body(time_span=(0.0, 10.0))
 
     def vf(u, *, t):
         return vf_p(u, t=t, p=params)
@@ -96,14 +107,19 @@ def main(argv=None):
             {"T": t_n, "mode": "sequential", "time_s": t_seq}
         )
 
-        for window, iters in [(256, 2), (1024, 2), (1024, 3), (4096, 2)]:
+        for window, iters, warm in [
+            (512, 2, "rk:16"),
+            (1024, 2, "rk:16"),
+            (1024, 2, "rk"),
+            (2048, 2, "rk:16"),
+        ]:
             if window >= t_n:
                 continue
 
-            def par(g, i, _w=window, _k=iters):
+            def par(g, i, _w=window, _k=iters, _ws=warm):
                 return ivpsolve.solve_fixed_grid(
                     vf, i, grid=g, solver=solver, parallel=True,
-                    window=_w, iterations=_k, warmstart="rk", form="sqrt",
+                    window=_w, iterations=_k, warmstart=_ws, form="sqrt",
                 )
 
             t_par, sol_par = _time(jax.jit(par), grid, init32, reps=args.reps)
@@ -113,8 +129,9 @@ def main(argv=None):
             )
             ratio = t_seq / t_par
             print(
-                f"T={t_n}  parallel w={window:5d} k={iters}: "
-                f"{t_par * 1e3:9.2f} ms  seq/par={ratio:5.2f}x  rel={rel:.2e}"
+                f"T={t_n}  parallel w={window:5d} k={iters} warm={warm}: "
+                f"{t_par * 1e3:9.2f} ms  seq/par={ratio:5.2f}x  rel={rel:.2e}",
+                flush=True,
             )
             results.append(
                 {
@@ -122,6 +139,7 @@ def main(argv=None):
                     "mode": "parallel",
                     "window": window,
                     "iterations": iters,
+                    "warmstart": warm,
                     "time_s": t_par,
                     "speedup_vs_seq": ratio,
                     "rel_vs_seq": rel,

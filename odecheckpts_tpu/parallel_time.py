@@ -324,7 +324,7 @@ def _adapters(ssm):
     return materialize, to_cols, from_cols, m_dim, c_dim
 
 
-def _warmstart_rk(vf, ssm, rv0_mean, grid, o, nu):
+def _warmstart_rk(vf, ssm, rv0_mean, grid, o, nu, stride=1):
     """Warm-start linearization for stiff problems: one sequential classical
     RK4 mean sweep over the grid (vector-field evaluations only -- orders of
     magnitude cheaper than the Kalman element combines that dominate the
@@ -332,7 +332,15 @@ def _warmstart_rk(vf, ssm, rv0_mean, grid, o, nu):
     full (nu+1)-row state stack.  Without it the windowed iteration starts
     from a constant trajectory and, on stiff dynamics (VdP mu=1e3), converges
     to a spurious fixed point of the linearize-filter map (ROADMAP round-2b
-    finding); started inside the true trajectory's basin it stays there."""
+    finding); started inside the true trajectory's basin it stays there.
+
+    ``stride`` > 1 cuts the warm start's SEQUENTIAL depth from T to T/stride
+    (the wall-clock lever on TPU, where scan steps are latency-bound): the
+    RK4 scan advances one anchor per ``stride`` fine steps (one RK4 step per
+    cell), and every intermediate left endpoint is filled by one VMAPPED RK4
+    offset step from its cell anchor.  Local fill error is
+    O((stride*dt)^5) -- the warm start only needs to land inside the window
+    iteration's contraction basin, not to be accurate."""
     from . import taylor
 
     y0 = tuple(ssm.select_deriv(rv0_mean, i) for i in range(o))
@@ -359,17 +367,39 @@ def _warmstart_rk(vf, ssm, rv0_mean, grid, o, nu):
         return y_new, y_new
 
     ts, dts = grid[1:], jnp.diff(grid)
-    _, traj = jax.lax.scan(rk4_step, y0, (ts, dts))
+    t1 = len(ts)
+    if stride > 1:
+        # anchors at fine indices 0, stride, 2*stride, ...; one RK4 step
+        # spans each cell, then a vmapped RK4 offset step fills every fine
+        # LEFT endpoint from its cell anchor (zero-width step at anchors)
+        idx_a = jnp.arange(0, t1, stride)
+        t_a = grid[idx_a]
+        t_a_next = grid[jnp.minimum(idx_a + stride, t1)]
 
-    # The converged linearization point is a PREDICTION l_k = Phi_k m_{k-1},
-    # not the solution at t_k: jets satisfy the ODE exactly, so seeding with
-    # on-trajectory jets zeroes every first-sweep residual and the dynamic
-    # calibration collapses to its floor (element J-blocks overflow).  Build
-    # the seed the way the iteration does: jet at the step's LEFT endpoint,
-    # extrapolated through the step.
-    traj_prev = tuple(
-        jnp.concatenate([y0i[None], ti[:-1]]) for y0i, ti in zip(y0, traj)
-    )
+        def cell_step(y, t_pair):
+            y_new, _ = rk4_step(y, t_pair)
+            return y_new, y  # emit the LEFT state of the cell
+
+        _, y_anchor = jax.lax.scan(cell_step, y0, (t_a_next, t_a_next - t_a))
+        a_of_j = jnp.arange(t1) // stride
+        y_base = tuple(ya[a_of_j] for ya in y_anchor)
+        t_left = grid[:-1]
+        dt_off = t_left - t_a[a_of_j]
+        traj_prev = jax.vmap(lambda y, t, d: rk4_step(y, (t, d))[0])(
+            y_base, t_left, dt_off
+        )
+    else:
+        _, traj = jax.lax.scan(rk4_step, y0, (ts, dts))
+
+        # The converged linearization point is a PREDICTION l_k = Phi_k
+        # m_{k-1}, not the solution at t_k: jets satisfy the ODE exactly, so
+        # seeding with on-trajectory jets zeroes every first-sweep residual
+        # and the dynamic calibration collapses to its floor (element
+        # J-blocks overflow).  Build the seed the way the iteration does:
+        # jet at the step's LEFT endpoint, extrapolated through the step.
+        traj_prev = tuple(
+            jnp.concatenate([y0i[None], ti[:-1]]) for y0i, ti in zip(y0, traj)
+        )
 
     def jet_one(y, t, dt):
         tc = taylor.odejet_padded_scan(
@@ -379,6 +409,25 @@ def _warmstart_rk(vf, ssm, rv0_mean, grid, o, nu):
         return ssm.extrapolate_mean(m, dt)[0]
 
     return jax.vmap(jet_one)(traj_prev, grid[:-1], dts)  # (T-1,) + mean shape
+
+
+def _parse_warmstart(warmstart):
+    """None -> None; "rk" -> stride 1; "rk:<s>" -> stride s (the coarse
+    anchor spacing of ``_warmstart_rk`` -- sequential depth T/s)."""
+    if warmstart is None:
+        return None
+    if warmstart == "rk":
+        return 1
+    if isinstance(warmstart, str) and warmstart.startswith("rk:"):
+        try:
+            stride = int(warmstart[3:])
+        except ValueError:
+            stride = 0
+        if stride >= 1:
+            return stride
+    raise ValueError(
+        f"warmstart must be None, 'rk', or 'rk:<stride>', got {warmstart!r}"
+    )
 
 
 def solve_fixed_grid_parallel(
@@ -422,8 +471,7 @@ def solve_fixed_grid_parallel(
     """
     if form not in ("cov", "sqrt"):
         raise ValueError(f"form must be 'cov' or 'sqrt', got {form!r}")
-    if warmstart not in (None, "rk"):
-        raise ValueError(f"warmstart must be None or 'rk', got {warmstart!r}")
+    _parse_warmstart(warmstart)  # validate early
     # TPU matmul passes at default precision corrupt the element combines
     # (observed: NaN on-chip, bit-clean on CPU); force exact accumulation
     with jax.default_matmul_precision("highest"):
@@ -467,8 +515,11 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
     dts_w = dts_p.reshape(num_w, w)
     valid_w = valid.reshape(num_w, w)
 
-    if warmstart == "rk":
-        lin_warm = _warmstart_rk(vf, ssm, rv0.mean, grid, o, ssm.n - 1)
+    ws_stride = _parse_warmstart(warmstart)
+    if ws_stride is not None:
+        lin_warm = _warmstart_rk(
+            vf, ssm, rv0.mean, grid, o, ssm.n - 1, stride=ws_stride
+        )
         lin_warm_p = jnp.concatenate(
             [lin_warm, jnp.broadcast_to(lin_warm[-1], (pad,) + lin_warm.shape[1:])]
         )
@@ -507,12 +558,12 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
             return p
         return jnp.repeat(p, m_dim // ssm.n)
 
-    def element_one(lin, r_prev_c, t, dt, ok, pv, pinv):
+    def element_one(lin, r_prev_c, t, dt, ok, pv, pinv, sigma_floor):
         _, cache = ssm.extrapolate_mean(lin, dt)  # only the cache (p, p_inv)
         z, jacs = _solvers.linearize(strategy, vf, lin, t)
         sigma, _err = _solvers.error_and_scale(strategy, z, jacs, cache)
         if solver.calibration == _solvers.DYNAMIC:
-            scale = jnp.maximum(sigma, tiny)
+            scale = jnp.maximum(sigma, jnp.maximum(sigma_floor, tiny))
         else:
             scale = scale_none
         phi, qc, h = materialize(dt, scale, jacs, o)
@@ -590,9 +641,35 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         def sweep(lin, _):
             r_cols = jax.vmap(to_cols)(lin)  # deviation references r_k
             r_prev = jnp.concatenate([m0c[None], r_cols[:-1]])
+            if solver.calibration == _solvers.DYNAMIC and dtype == jnp.float32:
+                # per-window sigma floor at sqrt(eps) * the window's largest
+                # sigma, FLOAT32 ONLY: once the linearization is accurate to
+                # f32 rounding, per-step residuals are NOISE (at fine dt the
+                # truncation error ~dt^(nu+1) sits far below 2^-24 |u|), and
+                # a noise-driven sigma spread of many decades makes the
+                # combine factors mutually singular (NaN sweeps at T >= 4k
+                # grids in f32).  sqrt(eps32) bounds the within-window scale
+                # conditioning by ~4e3.  f64 combines tolerate the full
+                # spread, and a deeply-converged window's LEGITIMATE sigma
+                # spread can exceed 1/sqrt(eps64) (the first post-jet steps
+                # sit at rounding level while mid-window steps carry real
+                # truncation error), so an f64 floor would bind and perturb
+                # converged smoother covariances -- leave f64 unfloored.
+                def sigma_one(l, t, dt):
+                    _, cache = ssm.extrapolate_mean(l, dt)
+                    z, jacs = _solvers.linearize(strategy, vf, l, t)
+                    s, _ = _solvers.error_and_scale(strategy, z, jacs, cache)
+                    return s
+
+                sig_pre = jax.vmap(sigma_one)(lin, ts_k, dts_k)
+                sigma_floor = jnp.sqrt(jnp.finfo(dtype).eps) * jnp.max(
+                    jnp.where(ok_k, sig_pre, 0.0)
+                )
+            else:
+                sigma_floor = jnp.zeros((), dtype)
             els, scales, _sigmas = jax.vmap(
-                element_one, in_axes=(0, 0, 0, 0, 0, None, None)
-            )(lin, r_prev, ts_k, dts_k, ok_k, pv, pinv)
+                element_one, in_axes=(0, 0, 0, 0, 0, None, None, None)
+            )(lin, r_prev, ts_k, dts_k, ok_k, pv, pinv, sigma_floor)
             prefix = jax.lax.associative_scan(
                 lambda e_i, e_j: jax.vmap(combine)(e_i, e_j), els
             )

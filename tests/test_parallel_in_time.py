@@ -133,11 +133,39 @@ def test_parallel_forward_filter_dense_ts1():
 
 def test_parallel_rejects_bad_warmstart():
     vf_p, init, grid, solver = _fixed_grid_setup("none")
-    with pytest.raises(ValueError, match="warmstart"):
-        ivpsolve.solve_fixed_grid(
-            vf_p, init, grid=grid, solver=solver, parallel=True,
-            warmstart="euler",
-        )
+    for bad in ("euler", "rk:0", "rk:-2", "rk:x", "rk:"):
+        with pytest.raises(ValueError, match="warmstart"):
+            ivpsolve.solve_fixed_grid(
+                vf_p, init, grid=grid, solver=solver, parallel=True,
+                warmstart=bad,
+            )
+
+
+@pytest.mark.slow
+def test_strided_rk_warmstart_matches_dense_warmstart():
+    """``warmstart="rk:<s>"`` anchors the RK4 sweep every s-th grid point
+    (sequential depth T/s) and fills intermediate left endpoints with one
+    vmapped RK4 offset step.  The fill error is O((s*dt)^5) -- far inside
+    the window iteration's contraction basin -- so at the same iteration
+    budget the strided start must land inside the dense start's band.
+
+    The stride has to keep stride*dt small against the dynamics' Lipschitz
+    time (rigid body: ~1): measured on this problem, stride*dt = 0.5 leaves
+    an O(3e-2) fill error that costs ~3 extra sweeps, while stride*dt =
+    0.125 (num=641, stride 8) starts within 1e-5 of the trajectory and
+    iteration 3 lands at 1.1e-5 vs the dense start's 2.3e-7."""
+    vf_p, init, grid, solver = _fixed_grid_setup("dynamic", num=641)
+    seq = ivpsolve.solve_fixed_grid(vf_p, init, grid=grid, solver=solver)
+    kw = dict(grid=grid, solver=solver, parallel=True, iterations=3,
+              form="sqrt")
+    par_dense = ivpsolve.solve_fixed_grid(vf_p, init, warmstart="rk", **kw)
+    par_strided = ivpsolve.solve_fixed_grid(
+        vf_p, init, warmstart="rk:8", **kw
+    )
+    err_dense = np.max(np.abs(np.asarray(par_dense.u) - np.asarray(seq.u)))
+    err_strided = np.max(np.abs(np.asarray(par_strided.u) - np.asarray(seq.u)))
+    assert err_dense < 5e-6
+    assert err_strided < 2e-4
 
 
 @pytest.mark.slow
