@@ -70,6 +70,23 @@ def main():
 
         return algo
 
+    def nystrom_solver(method):
+        # 2nd-order-structure baseline beyond the reference's competitor set:
+        # integrates u'' = f(u) directly (1/3 force evals per step of the
+        # reduction's dopri5). Nystrom contract is a position-only force.
+        def vf_pos(u, *, t=None, p=()):
+            return vf2(u, jnp.zeros_like(u), t=t, p=p)
+
+        @jax.jit
+        def algo(tol):
+            fun = facade.solve_nystrom(
+                method, vf_pos, u0_like_2nd, xs, dt0=dt0, atol=1e-3 * tol,
+                rtol=tol,
+            )
+            return fun(u0_2nd, ())
+
+        return algo
+
     algorithms = {
         "Prob(3) via probabilistic": (tols, prob_solver(3)),
         "Prob(5) via probabilistic": (tols, prob_solver(5)),
@@ -77,6 +94,7 @@ def main():
         "Bosh3() via rk": (tols, rk_solver("bosh3")),
         "Tsit5() via rk": (tols, rk_solver("tsit5")),
         "Dopri8() via rk": (tols, rk_solver("dopri8")),
+        "Yoshida4() via nystrom": (tols, nystrom_solver("yoshida4")),
     }
     print("\n", list(algorithms.keys()), "\n")
 

@@ -191,6 +191,25 @@ def solve_rk(method: str, vf, _u0_like, /, save_at, *, dt0, atol, rtol, ode_orde
 solve_diffrax = solve_rk
 
 
+def solve_nystrom(method: str, vf2, _u0_like, /, save_at, *, dt0, atol, rtol):
+    """Nystrom-type baseline for ``u'' = vf2(u, t=, p=)`` (position-only
+    force): integrates the 2nd-order form directly instead of the reference's
+    first-order reduction (run_harder.py's diffrax rows).  ``u0`` is the
+    tuple ``(position, velocity)``; returns positions at ``save_at``."""
+
+    def solve_(u0: tuple, p):
+        if not isinstance(u0, tuple):
+            raise ValueError("Tuple expected.")
+        pos0, vel0 = u0
+        (us, vs), num_evals = rk.solve_nystrom_save_at(
+            method, vf2, pos0, vel0,
+            save_at=save_at, dt0=dt0, atol=atol, rtol=rtol, params=p,
+        )
+        return us, {"solution": (us, vs), "u0_solve": us, "num_steps": num_evals}
+
+    return solve_
+
+
 def asolve_scipy(method: str, vf, /, time_span, *, atol, rtol):
     """Ground-truth trajectories via scipy (host CPU), reference :196-210."""
     import numpy as np

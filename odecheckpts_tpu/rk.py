@@ -268,3 +268,218 @@ def solve_rk_save_at(*args, **kwargs):
     """See _solve_rk_save_at_impl; traced at full f32 matmul precision."""
     with jax.default_matmul_precision("float32"):
         return _solve_rk_save_at_impl(*args, **kwargs)
+
+
+# -- Nystrom-type baselines for 2nd-order problems (ROADMAP #8) ---------------
+#
+# The reference benchmarks its ode_order=2 solvers only against diffrax RK
+# pairs on the FIRST-ORDER reduction (doubling the state and wasting the
+# u' = v rows; /root/reference/experiments/3_workprec_harder/run_harder.py).
+# These baselines integrate u'' = f(u, t) directly: velocity-Verlet substeps
+# chained into Yoshida's 4th-order triple-jump composition.  Coefficients
+# are derived, not tabulated: w1 = 1/(2 - 2^(1/3)) and w0 = 1 - 2 w1 kill
+# the leading error term of the symmetric 2nd-order kernel.  One force
+# evaluation per Verlet substep (acceleration is FSAL across substeps and
+# steps), so the per-step cost is 1 (verlet2) / 3 (yoshida4) force
+# evaluations vs 6 stage evaluations of the reduction's dopri5.
+#
+# Velocity-DEPENDENT accelerations (e.g. the restricted three-body problem's
+# Coriolis terms) are out of scope: the explicit velocity half-kick would be
+# inconsistent; use the first-order reduction baselines for those.
+
+_NYSTROM_ORDERS = {"verlet2": 2, "yoshida4": 4}
+
+
+class _NystromState(NamedTuple):
+    t: jax.Array
+    u: jax.Array
+    v: jax.Array
+    a: jax.Array  # FSAL: acceleration f(u, t)
+    dt: jax.Array
+    errn_prev: jax.Array
+    num_steps: jax.Array
+
+
+def _solve_nystrom_save_at_impl(
+    method: str, vf2, u0, du0, *, save_at, dt0, atol, rtol, params=()
+):
+    """Adaptive Nystrom-type solve of ``u'' = vf2(u, t=, p=)`` emitting
+    states exactly at ``save_at`` (clipped-step "tstops" semantics, like
+    ``solve_rk_save_at``).
+
+    Error control by step doubling: one composition step of dt vs two of
+    dt/2; the difference, deflated by 2^p - 1 (Richardson), estimates the
+    half-step solution's local error.  The half-step solution is kept
+    un-extrapolated, so accepted trajectories stay symplectic.  Returns
+    ``((us, vs), num_force_evals)``.
+    """
+    if method not in _NYSTROM_ORDERS:
+        raise ValueError(
+            f"unknown Nystrom method {method!r}; pick from "
+            f"{sorted(_NYSTROM_ORDERS)}"
+        )
+    order = _NYSTROM_ORDERS[method]
+    u0 = jnp.asarray(u0)
+    du0 = jnp.asarray(du0)
+    dtype = u0.dtype
+    save_at = jnp.asarray(save_at, dtype)
+
+    def f(u, t):
+        return jnp.asarray(vf2(u, t=t, p=params))
+
+    def verlet(u, v, a, t, dt):
+        """One velocity-Verlet step; returns state + end acceleration.
+        Exactly ONE force evaluation (the end force, FSAL)."""
+        v_half = v + 0.5 * dt * a
+        u_new = u + dt * v_half
+        a_new = f(u_new, t + dt)
+        v_new = v_half + 0.5 * dt * a_new
+        return u_new, v_new, a_new
+
+    if method == "verlet2":
+
+        def step(u, v, a, t, dt):
+            return verlet(u, v, a, t, dt)
+
+        evals_per_step = 1
+    else:
+        # Yoshida (1990) triple jump: S(w1 dt) S(w0 dt) S(w1 dt) with the
+        # symmetric kernel S = velocity Verlet; w1 + w0 + w1 = 1 and
+        # w1^3 + w0^3 + w1^3 = 0 give w1 = 1/(2 - 2^(1/3)), w0 = 1 - 2 w1.
+        w1 = 1.0 / (2.0 - 2.0 ** (1.0 / 3.0))
+        w0 = 1.0 - 2.0 * w1
+
+        def step(u, v, a, t, dt):
+            u, v, a = verlet(u, v, a, t, w1 * dt)
+            u, v, a = verlet(u, v, a, t + w1 * dt, w0 * dt)
+            u, v, a = verlet(u, v, a, t + (w1 + w0) * dt, w1 * dt)
+            return u, v, a
+
+        evals_per_step = 3
+
+    safety, fmin, fmax = 0.9, 0.2, 10.0
+    p_i, p_p = 0.7, 0.4
+    deflate = 2.0**order - 1.0
+
+    def attempt(s: _NystromState, t_stop):
+        dt = jnp.minimum(s.dt, t_stop - s.t)
+        u1, v1, _a1 = step(s.u, s.v, s.a, s.t, dt)
+        uh, vh, ah = step(s.u, s.v, s.a, s.t, 0.5 * dt)
+        u2, v2, a2 = step(uh, vh, ah, s.t + 0.5 * dt, 0.5 * dt)
+        err_u = jax.lax.stop_gradient((u2 - u1) / deflate)
+        err_v = jax.lax.stop_gradient((v2 - v1) / deflate)
+        tol_u = atol + rtol * jnp.maximum(jnp.abs(s.u), jnp.abs(u2))
+        tol_v = atol + rtol * jnp.maximum(jnp.abs(s.v), jnp.abs(v2))
+        sq = jnp.concatenate(
+            [(err_u / tol_u).ravel(), (err_v / tol_v).ravel()]
+        )
+        errn = jnp.sqrt(jnp.mean(sq**2) + jnp.finfo(dtype).tiny)
+        errn = jnp.where(jnp.isfinite(errn), errn, jnp.inf)
+
+        n1 = p_i / (order + 1.0)
+        n2 = p_p / (order + 1.0)
+        factor = safety * jnp.maximum(errn, 1e-10) ** -n1 * (
+            s.errn_prev / jnp.maximum(errn, 1e-10)
+        ) ** n2
+        factor = jnp.where(jnp.isfinite(factor), factor, fmin)
+        dt_next = jax.lax.stop_gradient(s.dt * jnp.clip(factor, fmin, fmax))
+
+        eps = jnp.finfo(dtype).eps
+        stall = dt <= 4.0 * eps * jnp.maximum(jnp.abs(s.t), 1.0)
+        accept = (errn <= 1.0) | stall
+        accepted = _NystromState(
+            t=s.t + dt,
+            u=u2,
+            v=v2,
+            a=a2,
+            dt=dt_next,
+            errn_prev=jnp.maximum(errn, jnp.finfo(dtype).tiny),
+            num_steps=s.num_steps + 3 * evals_per_step,
+        )
+        rejected = s._replace(
+            dt=dt_next, num_steps=s.num_steps + 3 * evals_per_step
+        )
+        return jax.tree.map(
+            lambda x, z: jnp.where(accept, x, z), accepted, rejected
+        )
+
+    def per_checkpoint(s: _NystromState, t_next):
+        s = control_flow.while_loop(
+            lambda st: st.t < t_next, lambda st: attempt(st, t_next), s
+        )
+        return s, (s.u, s.v)
+
+    s0 = _NystromState(
+        t=save_at[0],
+        u=u0,
+        v=du0,
+        a=f(u0, save_at[0]),
+        dt=jnp.asarray(dt0, dtype),
+        errn_prev=jnp.ones((), dtype),
+        num_steps=jnp.ones((), jnp.int32),  # the FSAL seed evaluation
+    )
+    final, (us, vs) = jax.lax.scan(per_checkpoint, s0, save_at[1:])
+    us = jnp.concatenate([u0[None], us])
+    vs = jnp.concatenate([du0[None], vs])
+    return (us, vs), final.num_steps
+
+
+def solve_nystrom_save_at(*args, **kwargs):
+    """See _solve_nystrom_save_at_impl; full f32 matmul precision."""
+    with jax.default_matmul_precision("float32"):
+        return _solve_nystrom_save_at_impl(*args, **kwargs)
+
+
+def solve_nystrom_fixed(method: str, vf2, u0, du0, *, grid, params=()):
+    """Fixed-grid symplectic Nystrom solve (no step control): scan the
+    composition step over ``grid``.  The natural work-precision axis for
+    symplectic methods -- sweep ``len(grid)`` instead of a tolerance."""
+    if method not in _NYSTROM_ORDERS:
+        raise ValueError(
+            f"unknown Nystrom method {method!r}; pick from "
+            f"{sorted(_NYSTROM_ORDERS)}"
+        )
+    # reuse the adaptive machinery's step via a tolerance-free single pass
+    u0 = jnp.asarray(u0)
+    du0 = jnp.asarray(du0)
+    grid = jnp.asarray(grid, u0.dtype)
+
+    def f(u, t):
+        return jnp.asarray(vf2(u, t=t, p=params))
+
+    def verlet(u, v, a, t, dt):
+        v_half = v + 0.5 * dt * a
+        u_new = u + dt * v_half
+        a_new = f(u_new, t + dt)
+        v_new = v_half + 0.5 * dt * a_new
+        return u_new, v_new, a_new
+
+    if method == "verlet2":
+
+        def step(u, v, a, t, dt):
+            return verlet(u, v, a, t, dt)
+
+    else:
+        w1 = 1.0 / (2.0 - 2.0 ** (1.0 / 3.0))
+        w0 = 1.0 - 2.0 * w1
+
+        def step(u, v, a, t, dt):
+            u, v, a = verlet(u, v, a, t, w1 * dt)
+            u, v, a = verlet(u, v, a, t + w1 * dt, w0 * dt)
+            u, v, a = verlet(u, v, a, t + (w1 + w0) * dt, w1 * dt)
+            return u, v, a
+
+    def scan_step(carry, t_pair):
+        u, v, a = carry
+        t_new, dt = t_pair
+        u, v, a = step(u, v, a, t_new - dt, dt)
+        return (u, v, a), (u, v)
+
+    ts, dts = grid[1:], jnp.diff(grid)
+    with jax.default_matmul_precision("float32"):
+        _, (us, vs) = jax.lax.scan(
+            scan_step, (u0, du0, f(u0, grid[0])), (ts, dts)
+        )
+    us = jnp.concatenate([u0[None], us])
+    vs = jnp.concatenate([du0[None], vs])
+    return us, vs

@@ -52,6 +52,87 @@ def test_rk_convergence_order(method, order):
     assert e_tight < 1e-6
 
 
+# -- Nystrom-type 2nd-order baselines (ROADMAP #8) ----------------------------
+
+
+@pytest.mark.parametrize("method,order", [("verlet2", 2), ("yoshida4", 4)])
+def test_nystrom_fixed_grid_convergence_order(method, order):
+    """Grid-halving on the harmonic oscillator u'' = -u: the global error
+    must drop by ~2^order (validates the derived Yoshida coefficients)."""
+    vf2 = lambda u, *, t=None, p=(): -u  # noqa: E731
+    u0 = jnp.asarray([1.0])
+    du0 = jnp.asarray([0.0])
+
+    def err(n):
+        grid = jnp.linspace(0.0, 2.0 * jnp.pi, n)
+        us, vs = rk.solve_nystrom_fixed(method, vf2, u0, du0, grid=grid)
+        # compare u AND v: at t = 2 pi the position sits at the cosine
+        # extremum where phase error enters only quadratically (a spurious
+        # +2 on the measured rate); the velocity v = -sin picks the phase
+        # error up linearly
+        return float(
+            jnp.maximum(jnp.abs(us[-1, 0] - 1.0), jnp.abs(vs[-1, 0] - 0.0))
+        )
+
+    e1, e2 = err(257), err(513)
+    rate = np.log2(e1 / e2)
+    assert order - 0.5 < rate < order + 0.7
+
+
+def test_nystrom_energy_conservation():
+    """Symplectic signature: harmonic-oscillator energy drift stays bounded
+    over many periods (a non-symplectic RK4 at the same step count drifts
+    monotonically)."""
+    vf2 = lambda u, *, t=None, p=(): -u  # noqa: E731
+    u0, du0 = jnp.asarray([1.0]), jnp.asarray([0.0])
+    grid = jnp.linspace(0.0, 100.0 * 2.0 * jnp.pi, 20_001)
+    us, vs = rk.solve_nystrom_fixed("yoshida4", vf2, u0, du0, grid=grid)
+    energy = 0.5 * (np.asarray(us)[:, 0] ** 2 + np.asarray(vs)[:, 0] ** 2)
+    assert np.max(np.abs(energy - 0.5)) < 1e-6
+
+
+def test_nystrom_adaptive_pleiades_vs_reduction():
+    """Adaptive step-doubling Nystrom on Pleiades agrees with the dopri5
+    first-order-reduction yardstick at the checkpoints."""
+    vf2, (u0, du0), tspan = problems.pleiades_2nd()
+    vf1, (y0,), tspan1, params = problems.pleiades_1st()
+    save_at = jnp.linspace(*tspan, num=5)
+    # Nystrom contract: position-only force vf(u, t=, p=); Pleiades' 2nd-order
+    # vf takes (u, du) per the ode_order=2 contract but ignores du
+    vf_pos = lambda u, *, t=None, p=(): vf2(u, jnp.zeros_like(u), t=t, p=p)  # noqa: E731
+    (us, _vs), nevals = jax.jit(
+        lambda: rk.solve_nystrom_save_at(
+            "yoshida4", vf_pos, u0, du0, save_at=save_at, dt0=0.01,
+            atol=1e-8, rtol=1e-8,
+        )
+    )()
+    ys_ref, _ = rk.solve_rk_save_at(
+        "dopri5", vf1, y0, save_at=save_at, dt0=0.01, atol=1e-11, rtol=1e-11,
+        params=params,
+    )
+    # Pleiades' close encounters amplify local error ~10^3 by t=3 (the same
+    # reason the reference sweeps it only at tight tolerances); 1e-4 bounds
+    # the tol-1e-8 global error with margin (measured 4.2e-5)
+    np.testing.assert_allclose(
+        np.asarray(us), np.asarray(ys_ref)[:, :14], rtol=0, atol=1e-4
+    )
+    assert int(nevals) > 0
+
+
+def test_nystrom_rejects_unknown_method():
+    vf2 = lambda u, *, t=None, p=(): -u  # noqa: E731
+    u0, du0 = jnp.asarray([1.0]), jnp.asarray([0.0])
+    with pytest.raises(ValueError, match="Nystrom"):
+        rk.solve_nystrom_save_at(
+            "rkn64", vf2, u0, du0, save_at=jnp.asarray([0.0, 1.0]),
+            dt0=0.1, atol=1e-6, rtol=1e-6,
+        )
+    with pytest.raises(ValueError, match="Nystrom"):
+        rk.solve_nystrom_fixed(
+            "rkn64", vf2, u0, du0, grid=jnp.asarray([0.0, 1.0])
+        )
+
+
 def test_rk_fixed_step_order_check():
     """Richardson-style order verification on a smooth nonlinear problem.
 
