@@ -558,10 +558,17 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
             return p
         return jnp.repeat(p, m_dim // ssm.n)
 
-    def element_one(lin, r_prev_c, t, dt, ok, pv, pinv, sigma_floor):
+    def lin_one(lin, t, dt):
+        """Per-step linearization (the vf/Jacobian work of one sweep step);
+        computed ONCE per sweep and shared between the sigma pre-pass and
+        the element construction."""
         _, cache = ssm.extrapolate_mean(lin, dt)  # only the cache (p, p_inv)
         z, jacs = _solvers.linearize(strategy, vf, lin, t)
         sigma, _err = _solvers.error_and_scale(strategy, z, jacs, cache)
+        return z, jacs, sigma
+
+    def element_one(lin, r_prev_c, dt, ok, z, jacs, sigma, sigma_floor,
+                    pv, pinv):
         if solver.calibration == _solvers.DYNAMIC:
             scale = jnp.maximum(sigma, jnp.maximum(sigma_floor, tiny))
         else:
@@ -598,7 +605,7 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         else:
             ident_k = ident
         el = jax.tree.map(lambda x, i: jnp.where(ok, x, i), el, ident_k)
-        return el, jnp.where(ok, scale, scale_none), sigma
+        return el, jnp.where(ok, scale, scale_none)
 
     def marginal_from_prefix(prefix, m0c, p0):
         """p(x_k | z_{1:k}) for a window-start state N(m0, P0): pull the
@@ -641,6 +648,7 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         def sweep(lin, _):
             r_cols = jax.vmap(to_cols)(lin)  # deviation references r_k
             r_prev = jnp.concatenate([m0c[None], r_cols[:-1]])
+            z_k, jacs_k, sig_k = jax.vmap(lin_one)(lin, ts_k, dts_k)
             if solver.calibration == _solvers.DYNAMIC and dtype == jnp.float32:
                 # per-window sigma floor at sqrt(eps) * the window's largest
                 # sigma, FLOAT32 ONLY: once the linearization is accurate to
@@ -655,21 +663,15 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
                 # sit at rounding level while mid-window steps carry real
                 # truncation error), so an f64 floor would bind and perturb
                 # converged smoother covariances -- leave f64 unfloored.
-                def sigma_one(l, t, dt):
-                    _, cache = ssm.extrapolate_mean(l, dt)
-                    z, jacs = _solvers.linearize(strategy, vf, l, t)
-                    s, _ = _solvers.error_and_scale(strategy, z, jacs, cache)
-                    return s
-
-                sig_pre = jax.vmap(sigma_one)(lin, ts_k, dts_k)
                 sigma_floor = jnp.sqrt(jnp.finfo(dtype).eps) * jnp.max(
-                    jnp.where(ok_k, sig_pre, 0.0)
+                    jnp.where(ok_k, sig_k, 0.0)
                 )
             else:
                 sigma_floor = jnp.zeros((), dtype)
-            els, scales, _sigmas = jax.vmap(
-                element_one, in_axes=(0, 0, 0, 0, 0, None, None, None)
-            )(lin, r_prev, ts_k, dts_k, ok_k, pv, pinv, sigma_floor)
+            els, scales = jax.vmap(
+                element_one, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None)
+            )(lin, r_prev, dts_k, ok_k, z_k, jacs_k, sig_k, sigma_floor,
+              pv, pinv)
             prefix = jax.lax.associative_scan(
                 lambda e_i, e_j: jax.vmap(combine)(e_i, e_j), els
             )
