@@ -305,6 +305,31 @@ def test_bucketed_solve_pads_non_divisible_batches():
     np.testing.assert_array_equal(np.asarray(n_b), np.asarray(n_ref))
 
 
+def test_bucketed_pad_and_ts1_tuple_state_compose():
+    """pad + bucket + TS1 together (round-2 review gap): a non-divisible
+    mixed-tolerance VdP ensemble with TUPLE state (ode_order=2) must route
+    through the bucketed driver's pad/replicate/scatter logic (the tuple
+    branch of ``rep``/``take``) and the TS1 dense dispatch, and reproduce
+    the unbucketed per-lane results exactly."""
+    vf, (u0, du0), _tspan = problems.van_der_pol(mu=10.0)
+    save_at = jnp.linspace(0.0, 2.0, num=3)
+    b = 6  # not divisible by num_buckets=4 -> pad 2
+    key = jax.random.PRNGKey(7)
+    noise = 1e-2 * jax.random.normal(key, (b, 1), jnp.float64)
+    u0s = (u0[None] * (1.0 + noise), jnp.broadcast_to(du0[None], (b, 1)))
+    tols = jnp.asarray(np.geomspace(1e-3, 1e-7, b))
+    kw = dict(save_at=save_at, dt0=0.01, engine="xla", ode_order=2,
+              correction="ts1", strategy="filter")
+    u_ref, _uf, n_ref = jax.jit(
+        lambda u, t: batched.solve_save_at_batched(vf, u, (), tols=t, **kw)
+    )(u0s, tols)
+    (u_b, _ufb, n_b), _bm = batched.solve_save_at_bucketed(
+        vf, u0s, (), tols=tols, num_buckets=4, **kw
+    )
+    np.testing.assert_allclose(np.asarray(u_b), np.asarray(u_ref), rtol=1e-9)
+    np.testing.assert_array_equal(np.asarray(n_b), np.asarray(n_ref))
+
+
 def test_bucketed_pad_ts1_together():
     """Pad + bucket + TS1 in one driver call: a non-divisible stiff-VdP
     ensemble (ode_order=2, the reference's vdp.py:61-66 solver class) with
