@@ -454,7 +454,10 @@ def solve_fixed_grid_parallel(
     ``warmstart="rk"``: seed every window's linearization from a cheap
     sequential RK4 mean sweep + vmapped Taylor jets (see ``_warmstart_rk``)
     -- required for stiff dynamics, where the constant-trajectory start
-    converges to a spurious fixed point.  ``damping`` in [0, 1): fraction of
+    converges to a spurious fixed point.  ``warmstart="rk:<s>"`` strides the
+    sweep (anchors every s-th grid point, vmapped RK4 cell fill): sequential
+    depth T/s instead of T, the wall-clock lever on TPU; keep s*dt small
+    against the dynamics' Lipschitz time.  ``damping`` in [0, 1): fraction of
     the previous linearization kept per sweep (0 = undamped), for dynamics
     where the undamped iteration oscillates.
 
