@@ -111,7 +111,12 @@ def parse_label(label: str) -> AlgorithmSpec:
     v = _VARIANT_RE.search(label, m.end())
     variant = v.group("variant") if v else None
     lowered = label.lower()
-    family = "prob" if ("prob" in lowered or "ts" in lowered) else "rk"
+    if "nystrom" in lowered:
+        family = "nystrom"
+    elif "prob" in lowered or "ts" in lowered:
+        family = "prob"
+    else:
+        family = "rk"
     return AlgorithmSpec(
         family=family, name=m.group("name"), order=order, variant=variant
     )
@@ -216,14 +221,16 @@ def style_harder() -> Style:
     separated by linestyle only."""
 
     tables = {
-        "marker": {"prob": "o", "rk": "P"},
-        "color": {"prob": "C0", "rk": "C2"},
-        "zorder": {"prob": 1, "rk": 0},
+        "marker": {"prob": "o", "rk": "P", "nystrom": "D"},
+        "color": {"prob": "C0", "rk": "C2", "nystrom": "C3"},
+        "zorder": {"prob": 1, "rk": 0, "nystrom": 0},
     }
 
     def legend(spec: AlgorithmSpec) -> str:
         if spec.family == "rk":
             return f"RK: {spec.name}"
+        if spec.family == "nystrom":
+            return f"Nystrom: {spec.name}"
         return f"{spec.name}({spec.order}; ours)"
 
     return _style_from_tables(lambda spec: spec.family, tables, legend)

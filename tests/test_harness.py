@@ -56,6 +56,9 @@ def test_tree_random_like_and_styles():
     assert style.color("Bosh3() via rk") == "C2"
     style_h = exp_util.style_harder()
     assert style_h.marker("Prob(8) via probabilistic") == "o"
+    assert style_h.marker("Yoshida4() via nystrom") == "D"
+    assert style_h.label("Yoshida4() via nystrom") == "Nystrom: Yoshida4"
+    assert style_h.linestyle("Yoshida4() via nystrom") == "solid"
     assert isinstance(exp_util.plot_params(), dict)
     assert exp_util.fontsize_uniform(9)["font.size"] == 9
 
