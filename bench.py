@@ -307,9 +307,38 @@ def _engine_match(batch=1024, rtol=1e-3):
     return max_du, rmse
 
 
+def _wait_for_device(max_tries=3, sleep_s=120):
+    """The axon TPU relay occasionally refuses backend init with a transient
+    UNAVAILABLE (observed: multi-hour outages).  JAX caches a failed backend
+    for the life of the process, so retrying means re-exec'ing: fresh
+    process, fresh init attempt, bounded by ``max_tries``."""
+    try:
+        jax.devices()
+        return
+    except RuntimeError as e:
+        msg = str(e)
+        transient = "UNAVAILABLE" in msg or "Unable to initialize" in msg
+        tries = int(os.environ.get("ODECKPT_BENCH_INIT_TRIES", "0"))
+        if not transient or tries >= max_tries:
+            raise
+        print(
+            f"# device init failed transiently; retry {tries + 1}/{max_tries}"
+            f" in {sleep_s}s",
+            file=sys.stderr,
+        )
+        time.sleep(sleep_s)
+        env = dict(os.environ, ODECKPT_BENCH_INIT_TRIES=str(tries + 1))
+        os.execve(
+            sys.executable,
+            [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+            env,
+        )
+
+
 def main():
     if os.environ.get("ODECKPT_BENCH_PLATFORM"):  # CPU smoke-testing hook
         jax.config.update("jax_platforms", os.environ["ODECKPT_BENCH_PLATFORM"])
+    _wait_for_device()
     here = os.path.dirname(os.path.abspath(__file__))
     batch32 = int(os.environ.get("ODECKPT_BENCH_BATCH32", 32768))
     batch64 = int(os.environ.get("ODECKPT_BENCH_BATCH64", 8192))
