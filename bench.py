@@ -51,6 +51,27 @@ REF_SECONDS = {
 # not the controller -- the pair engine keeps the 3x gate honest there.
 SWEEP_F32 = [1e-1, 1e-2, 1e-3, 1e-4]
 SWEEP_F64 = [1e-5, 1e-6, 1e-7, 1e-8, 1e-9]
+
+
+def _nu_map(env, default_map):
+    """Prior order per tolerance.  Steps scale as rtol^(-1/(nu+1)) while the
+    fused kernel's per-step cost grows only ~(nu+1)^2 vector ops, so the
+    optimal order tracks the tolerance (order_sweep.py).  Override via env:
+    ``ODECKPT_BENCH_NU32=3`` (flat) or ``ODECKPT_BENCH_NU64=1e-8:5,1e-9:5``."""
+    spec = os.environ.get(env)
+    if not spec:
+        return default_map
+    if ":" not in spec:
+        return {r: int(spec) for r in default_map}
+    out = dict(default_map)
+    for part in spec.split(","):
+        r, n = part.split(":")
+        out[float(r)] = int(n)
+    return out
+
+
+NU_F32 = _nu_map("ODECKPT_BENCH_NU32", {r: 4 for r in SWEEP_F32})
+NU_F64 = _nu_map("ODECKPT_BENCH_NU64", {r: 4 for r in SWEEP_F64})
 # round 3 (error calibration landed): reference tracks ~0.2x rtol, we gate at
 # 3x aggregate and 6x on the worst sampled lane
 RMSE_BOUND_FACTOR = 3.0
@@ -91,20 +112,21 @@ def _truth_rows(u0_rows, save_at):
     return np.stack(outs)
 
 
-def _make_solver(vf, params, save_at, engine, lanes):
+def _make_solver(vf, params, save_at, engine, lanes, num_derivatives=4):
     from odecheckpts_tpu import batched
 
     return jax.jit(
         lambda u, t: batched.solve_save_at_batched(
             vf, u, params, save_at=save_at, dt0=0.1, tols=t,
-            engine=engine, lanes=lanes,
+            engine=engine, lanes=lanes, num_derivatives=num_derivatives,
         )
     )
 
 
 def _sweep(dtype, rtols, batch, engine, *, sample, trace_dir=None):
-    """One compiled program per (dtype, batch, engine); rtol is a runtime
-    input, so every tolerance reuses the compile.  Returns per-rtol rows."""
+    """One compiled program per (dtype, batch, engine, prior order); rtol is
+    a runtime input, so tolerances sharing an order reuse the compile.
+    Returns per-rtol rows."""
     from odecheckpts_tpu import harness
 
     vf, u0, tspan, params = _problem()
@@ -116,10 +138,14 @@ def _sweep(dtype, rtols, batch, engine, *, sample, trace_dir=None):
     truth = _truth_rows(np.asarray(u0s[:sample], np.float64), save_at_np)
 
     lanes = 512 if engine.startswith("pallas") else None
-    solve = _make_solver(vf, params, save_at, engine, lanes)
+    solvers = {}
 
     rows = []
     for i, rtol in enumerate(rtols):
+        nu = NU_F32.get(rtol, 4)
+        if nu not in solvers:
+            solvers[nu] = _make_solver(vf, params, save_at, engine, lanes, nu)
+        solve = solvers[nu]
         tols = jnp.full((batch,), rtol, dtype)
         u_s, _u_f, n = solve(u0s, tols)  # compile (first rtol only) + warm
         jax.block_until_ready(u_s)
@@ -157,6 +183,7 @@ def _sweep(dtype, rtols, batch, engine, *, sample, trace_dir=None):
         rows.append(
             {
                 "rtol": rtol,
+                "nu": nu,
                 "dtype": np.dtype(dtype).name,
                 "engine": engine,
                 "batch": batch,
@@ -168,7 +195,7 @@ def _sweep(dtype, rtols, batch, engine, *, sample, trace_dir=None):
                 "mean_steps": round(float(jnp.mean(n[:, -1].astype(jnp.float32))), 1),
                 "est_gflops": round(
                     float(jnp.mean(n[:, -1].astype(jnp.float32)))
-                    * batch / elapsed * _flops_per_step() / 1e9, 1,
+                    * batch / elapsed * _flops_per_step(nu=nu) / 1e9, 1,
                 ),
                 "ref_seconds_per_solve": REF_SECONDS[rtol],
                 "speedup_vs_ref": round(batch / elapsed * REF_SECONDS[rtol], 1),
@@ -226,13 +253,18 @@ def _sweep_hi(rtols, batch, *, sample, engine="pallas"):
     u0_rows = _u0_ensemble(u0, batch)
     u0s = jnp.asarray(u0_rows, jnp.float32)
     truth = _truth_rows(np.asarray(u0s[:sample], np.float64), save_at_np)
-    solve = batched_hi.make_hi_solver(
-        vf, params, save_at=save_at_np, dt0=0.1,
-        vf_df=problems.rigid_body_df(params), engine=engine,
-        lanes=512 if engine.startswith("pallas") else None,
-    )
+    solvers = {}
     rows = []
     for rtol in rtols:
+        nu = NU_F64.get(rtol, 4)
+        if nu not in solvers:
+            solvers[nu] = batched_hi.make_hi_solver(
+                vf, params, save_at=save_at_np, dt0=0.1,
+                vf_df=problems.rigid_body_df(params), engine=engine,
+                num_derivatives=nu,
+                lanes=512 if engine.startswith("pallas") else None,
+            )
+        solve = solvers[nu]
         tols = np.full((batch,), rtol, np.float32)
         us, _uf, n = solve(u0s, tols)  # compile (first rtol) + warm
         jax.block_until_ready(us[0])
@@ -257,6 +289,7 @@ def _sweep_hi(rtols, batch, *, sample, engine="pallas"):
         rows.append(
             {
                 "rtol": rtol,
+                "nu": nu,
                 "dtype": "df32",
                 "engine": f"{engine}-hi",
                 "batch": batch,
@@ -268,7 +301,8 @@ def _sweep_hi(rtols, batch, *, sample, engine="pallas"):
                 "mean_steps": round(float(np.mean(np.asarray(n)[:, -1])), 1),
                 "est_gflops": round(
                     float(np.mean(np.asarray(n)[:, -1]))
-                    * batch / elapsed * _flops_per_step(pair=True) / 1e9, 1,
+                    * batch / elapsed * _flops_per_step(nu=nu, pair=True)
+                    / 1e9, 1,
                 ),
                 "ref_seconds_per_solve": REF_SECONDS[rtol],
                 "speedup_vs_ref": round(batch / elapsed * REF_SECONDS[rtol], 1),
