@@ -373,3 +373,47 @@ def test_pallas_loop_interpret_matches_xla_engine():
     )
     np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), rtol=2e-4, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_x))
+
+
+@pytest.mark.parametrize("nu", [3, 5])
+def test_nondefault_order_matches_generic(nu):
+    """Orders other than nu=4 (the per-tolerance order schedule in bench.py
+    and order_sweep.py): the fused engine must equal the generic stack at
+    the same order, and the pallas-loop kernel must lower/step identically
+    in interpret mode."""
+    vf, params, save_at, u0s, tols = _inputs()
+    u_s, _uf, nsteps = jax.jit(
+        lambda: batched.solve_save_at_batched(
+            vf, u0s, params, save_at=save_at, dt0=0.1, tols=tols,
+            num_derivatives=nu, engine="xla",
+        )
+    )()
+    assert np.all(np.isfinite(np.asarray(u_s)))
+
+    solve_generic = parallel.build_batched_solve(
+        f"ts0-{nu}", vf, u0s[0], save_at, dt0=0.1
+    )
+    u_ref, steps_ref = solve_generic((u0s,), params, tols)
+    # knife-edge accept/reject divergence between the two drivers grows a
+    # few ULP-level step differences into ~1e-7 trajectory deltas
+    np.testing.assert_allclose(
+        np.asarray(u_s), np.asarray(u_ref), rtol=1e-5, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(nsteps[:, -1]), np.asarray(steps_ref), rtol=0.10
+    )
+
+    u32, n32_kw = u0s.astype(jnp.float32), tols.astype(jnp.float32)
+    sa32 = save_at.astype(jnp.float32)
+    u_x, _, n_x = batched.solve_save_at_batched(
+        vf, u32, params, save_at=sa32, dt0=0.1, tols=n32_kw,
+        num_derivatives=nu, engine="xla",
+    )
+    u_p, _, n_p = batched.solve_save_at_batched(
+        vf, u32, params, save_at=sa32, dt0=0.1, tols=n32_kw,
+        num_derivatives=nu, engine="pallas-loop", interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(u_p), np.asarray(u_x), rtol=2e-4, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_x))
