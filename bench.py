@@ -26,8 +26,14 @@ solver/problem, decoded from experiments/2_workprec_simple/data_results.npy
 the reference's aggregate CPU solves/s over the same tolerance set.
 BASELINE.json's target for this number is >= 10.
 
+A secondary TUNED-ORDER pass re-times the tolerances where a different prior
+order wins (measured schedule, data_order_sweep.json; the reference itself
+tunes order per tolerance — Prob(3/5/8) in exp-3).  The headline ``value``
+stays the strict TS0(4)-parity number; the tuned aggregate is reported as
+``tuned_order_solves_per_sec`` / ``tuned_vs_baseline``.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "rows",
-"rmse_max_over_rtol", "engine_match"}.
+"rmse_max_over_rtol", "engine_match", "tuned_order_solves_per_sec", ...}.
 """
 
 import json
@@ -72,6 +78,20 @@ def _nu_map(env, default_map):
 
 NU_F32 = _nu_map("ODECKPT_BENCH_NU32", {r: 4 for r in SWEEP_F32})
 NU_F64 = _nu_map("ODECKPT_BENCH_NU64", {r: 4 for r in SWEEP_F64})
+# Secondary TUNED-ORDER schedule (headline stays TS0(4) parity): the prior
+# order is a per-tolerance work-precision lever — steps scale as
+# rtol^(-1/(nu+1)) against an ~n^2 per-step kernel cost — and the reference
+# itself picks order by tolerance (Prob(3/5/8) in exp-3, BASELINE.md).  The
+# winners below are MEASURED on one v5e chip with the same accuracy gates
+# (experiments/6_tpu_batched_sweep/data_order_sweep.json): 1.06–2.25x per
+# tolerance over nu=4.  Reported as tuned_* fields; disable the extra pass
+# with ODECKPT_BENCH_TUNED=0.
+NU_F32_TUNED = _nu_map(
+    "ODECKPT_BENCH_NU32_TUNED", {1e-1: 2, 1e-2: 2, 1e-3: 3, 1e-4: 3}
+)
+NU_F64_TUNED = _nu_map(
+    "ODECKPT_BENCH_NU64_TUNED", {1e-5: 4, 1e-6: 5, 1e-7: 5, 1e-8: 5, 1e-9: 5}
+)
 # round 3 (error calibration landed): reference tracks ~0.2x rtol, we gate at
 # 3x aggregate and 6x on the worst sampled lane
 RMSE_BOUND_FACTOR = 3.0
@@ -123,7 +143,7 @@ def _make_solver(vf, params, save_at, engine, lanes, num_derivatives=4):
     )
 
 
-def _sweep(dtype, rtols, batch, engine, *, sample, trace_dir=None):
+def _sweep(dtype, rtols, batch, engine, *, sample, trace_dir=None, nu_map=None):
     """One compiled program per (dtype, batch, engine, prior order); rtol is
     a runtime input, so tolerances sharing an order reuse the compile.
     Returns per-rtol rows."""
@@ -140,9 +160,11 @@ def _sweep(dtype, rtols, batch, engine, *, sample, trace_dir=None):
     lanes = 512 if engine.startswith("pallas") else None
     solvers = {}
 
+    if nu_map is None:
+        nu_map = NU_F32
     rows = []
     for i, rtol in enumerate(rtols):
-        nu = NU_F32.get(rtol, 4)
+        nu = nu_map.get(rtol, 4)
         if nu not in solvers:
             solvers[nu] = _make_solver(vf, params, save_at, engine, lanes, nu)
         solve = solvers[nu]
@@ -243,10 +265,13 @@ def _count_capped(num_steps):
     return int(np.sum(np.any(inc >= MAX_ATTEMPTS, axis=1)))
 
 
-def _sweep_hi(rtols, batch, *, sample, engine="pallas"):
+def _sweep_hi(rtols, batch, *, sample, engine="pallas", nu_map=None):
     """Tight-tolerance band on the df32 (compensated pair) fused engine:
     one compiled program, rtol as a runtime input, RMSE gated per row."""
     from odecheckpts_tpu import batched_hi, problems
+
+    if nu_map is None:
+        nu_map = NU_F64
 
     vf, u0, tspan, params = _problem()
     save_at_np = np.linspace(tspan[0], tspan[1], num=5)
@@ -256,7 +281,7 @@ def _sweep_hi(rtols, batch, *, sample, engine="pallas"):
     solvers = {}
     rows = []
     for rtol in rtols:
-        nu = NU_F64.get(rtol, 4)
+        nu = nu_map.get(rtol, 4)
         if nu not in solvers:
             solvers[nu] = batched_hi.make_hi_solver(
                 vf, params, save_at=save_at_np, dt0=0.1,
@@ -386,10 +411,12 @@ def main():
     # f32, loose-to-mid tolerances: fused Pallas kernel with the whole
     # accept/reject loop in-kernel (fallbacks: per-attempt Pallas, then the
     # same lanes-last step under XLA)
+    f32_engine = None
     for eng in ("pallas-loop", "pallas", "xla"):
         try:
             rows += _sweep(jnp.float32, SWEEP_F32, batch32, eng,
                            sample=sample, trace_dir=trace_dir)
+            f32_engine = eng
             break
         except Exception as e:
             print(f"# {eng} f32 failed ({e!r}); falling back", file=sys.stderr)
@@ -407,12 +434,14 @@ def main():
 
     # tight tolerances: compensated double-f32 pairs in the fused Pallas
     # kernel (no 64-bit types anywhere on the device)
+    hi_engine = None
     try:
         done = False
         for eng in ("pallas-loop", "pallas", "xla"):
             try:
                 rows += _sweep_hi(SWEEP_F64, batch32, sample=sample, engine=eng)
                 done = True
+                hi_engine = eng
                 break
             except Exception as e:
                 print(f"# df32 {eng} failed ({e!r}); falling back",
@@ -429,6 +458,34 @@ def main():
         except Exception as e2:
             print(f"# f64 sweep failed entirely: {e2!r}", file=sys.stderr)
 
+    # TUNED-ORDER pass (secondary metric): re-time only the tolerances whose
+    # tuned order differs from the nu=4 parity schedule; identical-order
+    # tolerances reuse the parity measurement.
+    tuned_rows = []
+    if os.environ.get("ODECKPT_BENCH_TUNED", "1") != "0":
+        try:
+            by_rtol = {r["rtol"]: r for r in rows}
+            f32_redo = [r for r in SWEEP_F32
+                        if NU_F32_TUNED.get(r, 4) != NU_F32.get(r, 4)
+                        and r in by_rtol]
+            hi_redo = [r for r in SWEEP_F64
+                       if NU_F64_TUNED.get(r, 4) != NU_F64.get(r, 4)
+                       and r in by_rtol]
+            redone = {}
+            if f32_redo and f32_engine is not None:
+                for row in _sweep(jnp.float32, f32_redo, batch32, f32_engine,
+                                  sample=sample, nu_map=NU_F32_TUNED):
+                    redone[row["rtol"]] = row
+            if hi_redo and hi_engine is not None:
+                for row in _sweep_hi(hi_redo, batch32, sample=sample,
+                                     engine=hi_engine, nu_map=NU_F64_TUNED):
+                    redone[row["rtol"]] = row
+            tuned_rows = [redone.get(r["rtol"], r) for r in rows]
+        except Exception as e:
+            print(f"# tuned-order pass failed ({e!r}); parity only",
+                  file=sys.stderr)
+            tuned_rows = []
+
     total_solves = sum(r["batch"] for r in rows)
     total_time = sum(r["seconds"] for r in rows)
     ref_rate = len(rows) / sum(r["ref_seconds_per_solve"] for r in rows)
@@ -437,19 +494,36 @@ def main():
     lane_over_rtol = max(r.get("rmse_max_lane", 0.0) / r["rtol"] for r in rows)
     capped_total = sum(r.get("capped_lanes", 0) for r in rows)
 
+    tuned = {}
+    if tuned_rows:
+        t_time = sum(r["seconds"] for r in tuned_rows)
+        t_rate = sum(r["batch"] for r in tuned_rows) / t_time
+        tuned = {
+            "tuned_order_solves_per_sec": round(t_rate, 2),
+            "tuned_vs_baseline": round(t_rate / ref_rate, 2),
+            "tuned_nu": {f"{r['rtol']:.0e}": r["nu"] for r in tuned_rows},
+            "tuned_rmse_max_over_rtol": round(
+                max(r["rmse"] / r["rtol"] for r in tuned_rows), 4
+            ),
+        }
+
     detail = {
         "rows": rows,
+        "tuned_rows": tuned_rows,
         "engine_match_max_du": max_du,
         "engine_match_rmse": engine_rmse,
     }
     out_path = os.path.join(
         here, "experiments", "6_tpu_batched_sweep", "data_workprec_full.json"
     )
-    try:
-        with open(out_path, "w") as f:
-            json.dump(detail, f, indent=1)
-    except OSError:
-        pass
+    # CPU smoke runs (ODECKPT_BENCH_PLATFORM=cpu) must not clobber the
+    # committed TPU measurement
+    if not os.environ.get("ODECKPT_BENCH_PLATFORM"):
+        try:
+            with open(out_path, "w") as f:
+                json.dump(detail, f, indent=1)
+        except OSError:
+            pass
 
     print(
         json.dumps(
@@ -472,6 +546,7 @@ def main():
                     if engine_rmse is None
                     else {k: round(v, 6) for k, v in engine_rmse.items()}
                 ),
+                **tuned,
             }
         )
     )

@@ -17,6 +17,7 @@ Module tour (import-parity with the reference stack where applicable):
     facade        two-stage solve builders (reference layer L2)
     rk            native adaptive Runge-Kutta baselines (diffrax stand-ins)
     train         loss/update builders for ODE parameter estimation
+    checkpointing durable training-state save/resume (orbax-backed)
     parallel      batched sweeps on device meshes (vmap + shard_map)
     parallel_time parallel-in-time forward filter (cov + sqrt elements)
     batched       fused lanes-last adaptive engine (one Pallas step kernel)
@@ -29,6 +30,7 @@ from . import batched  # noqa: F401
 from . import batched_hi  # noqa: F401
 from . import df32  # noqa: F401
 
+from . import checkpointing  # noqa: F401
 from . import control_flow  # noqa: F401
 from . import exp_util  # noqa: F401
 from . import facade  # noqa: F401

@@ -433,7 +433,7 @@ def _parse_warmstart(warmstart):
 def solve_fixed_grid_parallel(
     vf, init, *, grid, solver, iterations=8, window=16, form="cov",
     warmstart=None, damping=0.0, precondition=True, deviation=True,
-    fallback_rtol=1.0,
+    fallback_rtol=1.0, time_shard=None,
 ):
     """Fixed-grid solve, parallel-in-time within windows.
 
@@ -471,6 +471,16 @@ def solve_fixed_grid_parallel(
     the dt-spread on adaptive ones; the remaining exposure is the physical
     ~|J|^2 anisotropy of the observation row.  Marginals are transformed
     back per window, so results are identical in exact arithmetic.
+
+    ``time_shard=(mesh, axis_name)``: constrain each window's element
+    arrays (and their scan prefixes) to be sharded along the STEP axis of
+    the given :class:`jax.sharding.Mesh` axis, so GSPMD distributes the
+    associative combines across devices with ICI collectives.  This is the
+    multi-chip axis a single IVP can scale on — the sequential filter's
+    scan cannot shard time at all.  ``window`` should be a multiple of the
+    mesh axis size; numerics are unchanged (sharding is a layout
+    constraint, validated against the unsharded pass on a virtual mesh in
+    tests/test_parallel_in_time.py).
     """
     if form not in ("cov", "sqrt"):
         raise ValueError(f"form must be 'cov' or 'sqrt', got {form!r}")
@@ -482,14 +492,14 @@ def solve_fixed_grid_parallel(
             vf, init, grid=grid, solver=solver, iterations=iterations,
             window=window, form=form, warmstart=warmstart, damping=damping,
             precondition=precondition, deviation=deviation,
-            fallback_rtol=fallback_rtol,
+            fallback_rtol=fallback_rtol, time_shard=time_shard,
         )
 
 
 def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
                                form="cov", warmstart=None, damping=0.0,
                                precondition=True, deviation=True,
-                               fallback_rtol=1.0):
+                               fallback_rtol=1.0, time_shard=None):
     from .ivpsolve import Solution, _validate_increasing
 
     ssm = solver.ssm

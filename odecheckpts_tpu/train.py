@@ -19,6 +19,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import control_flow, stats
 
@@ -82,6 +83,8 @@ def fit(
     num_steps: int,
     max_solver_steps: Optional[int] = None,
     callback: Optional[Callable[[int, float], None]] = None,
+    checkpoint_dir=None,
+    checkpoint_every: int = 50,
 ):
     """Run ``num_steps`` of gradient descent on ``loss_fn``.
 
@@ -90,21 +93,59 @@ def fit(
     reverse-mode differentiable.  Interruptible: Ctrl-C returns the progress
     so far (the reference keeps partial results the same way,
     train_ode.py:90-91).  Returns ``(theta, losses)``.
+
+    ``checkpoint_dir`` enables durable resume (beyond the reference, which
+    persists only results): every ``checkpoint_every`` steps — and on
+    Ctrl-C — the ``(theta, opt_state, losses)`` pytree is written via
+    :mod:`odecheckpts_tpu.checkpointing`; a rerun with the same directory
+    restores the newest checkpoint and continues where it left off.
+    ``num_steps`` counts TOTAL steps, so a resumed run does only the
+    remainder.
     """
     step = gradient_step(loss_fn, optimizer)
     theta, opt_state = theta0, optimizer.init(theta0)
     losses = []
+    start = 0
+
+    if checkpoint_dir is not None:
+        from . import checkpointing
+
+        state = checkpointing.restore(checkpoint_dir)
+        if state is not None:
+            template = (theta, opt_state)
+            leaves = jax.tree_util.tree_leaves((state["theta"], state["opt_state"]))
+            theta, opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(template), leaves
+            )
+            losses = [float(v) for v in state["losses"]]
+            start = state["step"]
+
+    def _save(i):
+        from . import checkpointing
+
+        checkpointing.save(
+            checkpoint_dir,
+            i,
+            {
+                "theta": theta,
+                "opt_state": opt_state,
+                "losses": np.asarray(losses, np.float64),
+            },
+        )
 
     def run():
         nonlocal theta, opt_state
         try:
-            for i in range(num_steps):
+            for i in range(start, num_steps):
                 theta, opt_state, value = step(theta, opt_state)
                 losses.append(float(value))
                 if callback is not None:
                     callback(i, losses[-1])
+                if checkpoint_dir is not None and (i + 1) % checkpoint_every == 0:
+                    _save(i + 1)
         except KeyboardInterrupt:
-            pass
+            if checkpoint_dir is not None and losses:
+                _save(len(losses))
 
     if max_solver_steps is not None:
         with control_flow.overwrite_with_bounded(max_steps=max_solver_steps):
