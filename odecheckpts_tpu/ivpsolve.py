@@ -627,7 +627,7 @@ def solve_adaptive_parallel_in_time(
 def solve_fixed_grid(
     vf, init, *, grid, solver, parallel=False, iterations=8, window=16,
     form="cov", warmstart=None, damping=0.0, precondition=True,
-    deviation=True, fallback_rtol=1.0,
+    deviation=True, fallback_rtol=1.0, time_shard=None,
 ):
     """Non-adaptive solve on a user grid (any strategy), one ``lax.scan``.
 
@@ -642,7 +642,10 @@ def solve_fixed_grid(
     sweeps each; reversal strategies (smoother/fixedpoint) get their
     backward conditionals by a post-pass vmapped revert of the filtered
     marginals.  ``form="sqrt"`` combines square-root (QR) elements, the
-    f32-viable variant; see ``parallel_time.solve_fixed_grid_parallel``."""
+    f32-viable variant; ``time_shard=(mesh, axis)`` shards the window
+    combines along the STEP axis over a device mesh (the multi-chip axis a
+    single IVP can scale on); see
+    ``parallel_time.solve_fixed_grid_parallel``."""
     if parallel:
         from . import parallel_time
 
@@ -650,14 +653,16 @@ def solve_fixed_grid(
             vf, init, grid=grid, solver=solver, iterations=iterations,
             window=window, form=form, warmstart=warmstart, damping=damping,
             precondition=precondition, deviation=deviation,
-            fallback_rtol=fallback_rtol,
+            fallback_rtol=fallback_rtol, time_shard=time_shard,
         )
-    if form != "cov" or warmstart is not None or damping != 0.0:
+    if form != "cov" or warmstart is not None or damping != 0.0 or (
+        time_shard is not None
+    ):
         raise ValueError(
-            "form/warmstart/damping configure the parallel-in-time sweep and "
-            "have no effect when parallel=False; pass parallel=True or drop "
-            f"them (got form={form!r}, warmstart={warmstart!r}, "
-            f"damping={damping!r})."
+            "form/warmstart/damping/time_shard configure the parallel-in-time "
+            "sweep and have no effect when parallel=False; pass parallel=True "
+            f"or drop them (got form={form!r}, warmstart={warmstart!r}, "
+            f"damping={damping!r}, time_shard={time_shard!r})."
         )
     ssm = solver.ssm
     strategy = solver.strategy
@@ -685,8 +690,11 @@ def solve_fixed_grid(
 
     ts = grid[1:]
     dts = jnp.diff(grid)
+    # mle_ssq is per-component for backends with per-dimension output scales
+    # (blockdiag: sigma is (d,)), matching the adaptive drivers' _State init
+    ssq0 = jnp.zeros_like(ssm.promote_output_scale(scale0).astype(dtype))
     (rv_last, mle_ssq, count), (rvs, conds, scales) = jax.lax.scan(
-        scan_fn, (rv0, jnp.zeros((), dtype), jnp.zeros((), jnp.int32)), (ts, dts)
+        scan_fn, (rv0, ssq0, jnp.zeros((), jnp.int32)), (ts, dts)
     )
 
     rvs = _tree_prepend(rv0, rvs)

@@ -273,14 +273,24 @@ def _marginal_from_prefix_sqrt(prefix, m0c, w0):
 
 def _adapters(ssm):
     """Backend adapter: materialize (Phi, Q, H, v) matrices per step and map
-    between the ssm mean format and (m, c) column form."""
+    between the ssm mean format and (m, c) column form.
+
+    Returns ``(materialize, to_cols, from_cols, m_dim, c_dim, n_blocks)``.
+    ``n_blocks`` is 0 for the shared-covariance layouts (isotropic: one
+    (n, n) factor with d mean columns riding along; dense: one (nd, nd)
+    factor) and ``d`` for blockdiag, whose per-dimension (n, n) factors and
+    per-dimension output scales make each ODE dimension an INDEPENDENT
+    element chain given the linearization -- the driver vmaps the element
+    construction, combines, and marginals over that leading block axis."""
     nu = ssm.num_derivatives
     d, n = ssm.d, ssm.n
+    n_blocks = 0
 
-    if ssm.name == "isotropic":
-        # state matrix acts on the derivative axis; d columns ride along
-        # (blockdiag carries per-dimension covariance factors -- not yet
-        # mapped onto the shared-(n,n) element layout here)
+    if ssm.name in ("isotropic", "blockdiag"):
+        # state matrix acts on the derivative axis.  Isotropic: d columns
+        # ride along one shared (n, n) covariance.  Blockdiag: the SAME
+        # per-step matrices serve each dimension with its own scalar scale
+        # (the driver maps this materializer over the block axis).
         def materialize(dt, scale, jacs, o):
             del jacs
             phi = prior.phi_direct(dt, nu)
@@ -290,13 +300,25 @@ def _adapters(ssm):
             h = jax.nn.one_hot(o, n, dtype=dt.dtype)[None, :]  # (1, n)
             return phi, qc, h
 
-        def to_cols(mean):  # (n, d) -> (n, d)
-            return mean
+        if ssm.name == "isotropic":
 
-        def from_cols(b):
-            return b
+            def to_cols(mean):  # (n, d) -> (n, d)
+                return mean
 
-        m_dim, c_dim = n, d
+            def from_cols(b):
+                return b
+
+            m_dim, c_dim = n, d
+        else:  # blockdiag: one (n, 1) column per dimension block
+
+            def to_cols(mean):  # (d, n) -> (d, n, 1)
+                return mean[..., :, None]
+
+            def from_cols(b):  # (d, n, 1) -> (d, n)
+                return b[..., :, 0]
+
+            m_dim, c_dim = n, 1
+            n_blocks = d
     elif ssm.name == "dense":
         eye_d = jnp.eye(d)
 
@@ -321,7 +343,7 @@ def _adapters(ssm):
         m_dim, c_dim = n * d, 1
     else:
         raise NotImplementedError(ssm.name)
-    return materialize, to_cols, from_cols, m_dim, c_dim
+    return materialize, to_cols, from_cols, m_dim, c_dim, n_blocks
 
 
 def _warmstart_rk(vf, ssm, rv0_mean, grid, o, nu, stride=1):
@@ -513,7 +535,7 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
     grid = jnp.asarray(grid, dtype)
 
     o = corr.ode_order
-    materialize, to_cols, from_cols, m_dim, c_dim = _adapters(ssm)
+    materialize, to_cols, from_cols, m_dim, c_dim, n_blocks = _adapters(ssm)
     ts, dts = grid[1:], jnp.diff(grid)
     t1 = len(ts)
     w = max(1, min(window, t1))
@@ -554,7 +576,13 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
 
     def _z_cols(z):
         # residual in the element's (r, c) observation-value layout
+        # (blockdiag: one (1, 1) value per dimension block)
+        if n_blocks:
+            return z[:, None, None]
         return z[:, None] if c_dim == 1 else z[None, :]
+
+    def _mT(x):
+        return jnp.swapaxes(x, -1, -2)
 
     make_element = (
         (lambda phi, qc, h, v, drift=None: _element(phi, qc @ qc.T, h, v, drift))
@@ -562,6 +590,27 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         else _element_sqrt
     )
     combine = _combine if form == "cov" else _combine_sqrt
+
+    if time_shard is not None:
+        mesh_ts, ax_ts = time_shard
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def _constrain(tree):
+            """Shard the leading (step) axis over the mesh axis; GSPMD then
+            distributes the associative combines with ICI collectives."""
+            return jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x,
+                    NamedSharding(
+                        mesh_ts,
+                        PartitionSpec(ax_ts, *(None,) * (x.ndim - 1)),
+                    ),
+                ),
+                tree,
+            )
+    else:
+        def _constrain(tree):
+            return tree
 
     # per-window preconditioning (ROADMAP #3): expand the derivative-axis
     # scaling p to the element state dimension (dense states are ordered
@@ -580,13 +629,12 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         sigma, _err = _solvers.error_and_scale(strategy, z, jacs, cache)
         return z, jacs, sigma
 
-    def element_one(lin, r_prev_c, dt, ok, z, jacs, sigma, sigma_floor,
-                    pv, pinv):
-        if solver.calibration == _solvers.DYNAMIC:
-            scale = jnp.maximum(sigma, jnp.maximum(sigma_floor, tiny))
-        else:
-            scale = scale_none
-        phi, qc, h = materialize(dt, scale, jacs, o)
+    def _build_element(scale_b, r_prev_b, lin_b, z_b, dt, jacs, pv, pinv):
+        """One filtering element: a whole step for the shared-covariance
+        layouts, ONE dimension block for blockdiag (vmapped by the caller).
+        ``lin_b``/``z_b`` arrive in column layout, ``scale_b`` is the
+        scalar (or per-column) output scale of this block."""
+        phi, qc, h = materialize(dt, scale_b, jacs, o)
         if deviation:
             # deviation state dx_k = x_k - r_k with reference r_k = lin_k:
             # the observation value is exactly -z (the local residual) and
@@ -594,11 +642,11 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
             # prediction-filter gap -- every mean-path quantity stays
             # O(residual), which is what keeps stiff combinations viable in
             # f32 (H x ~ |J||x| cancellation otherwise eats the mean).
-            drift = phi @ r_prev_c - to_cols(lin)
-            v = -_z_cols(z)
+            drift = phi @ r_prev_b - lin_b
+            v = -z_b
         else:
             drift = None
-            v = h @ to_cols(lin) - _z_cols(z)  # exact observation H x_k = v
+            v = h @ lin_b - z_b  # exact observation H x_k = v
         if precondition:
             # x_hat = T^-1 x: H-hat x-hat = H x = v unchanged
             phi = pinv[:, None] * phi * pv[None, :]
@@ -612,11 +660,30 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
             # with the reference shift r_{k-1} - r_k as drift
             ident_k = (
                 ident[0],
-                pinv[:, None] * (r_prev_c - to_cols(lin)),
+                pinv[:, None] * (r_prev_b - lin_b),
                 ident[2], ident[3], ident[4],
             )
         else:
             ident_k = ident
+        return el, ident_k
+
+    def element_one(lin, r_prev_c, dt, ok, z, jacs, sigma, sigma_floor,
+                    pv, pinv):
+        if solver.calibration == _solvers.DYNAMIC:
+            scale = jnp.maximum(sigma, jnp.maximum(sigma_floor, tiny))
+        else:
+            scale = scale_none
+        lin_c, z_c = to_cols(lin), _z_cols(z)
+        if n_blocks:
+            # blockdiag: scale/carry/reference/residual all carry a leading
+            # block axis; jacs is empty (TS0-only backend), dt/pv/pinv shared
+            el, ident_k = jax.vmap(
+                _build_element, in_axes=(0, 0, 0, 0, None, None, None, None)
+            )(scale, r_prev_c, lin_c, z_c, dt, jacs, pv, pinv)
+        else:
+            el, ident_k = _build_element(
+                scale, r_prev_c, lin_c, z_c, dt, jacs, pv, pinv
+            )
         el = jax.tree.map(lambda x, i: jnp.where(ok, x, i), el, ident_k)
         return el, jnp.where(ok, scale, scale_none)
 
@@ -676,8 +743,9 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
                 # sit at rounding level while mid-window steps carry real
                 # truncation error), so an f64 floor would bind and perturb
                 # converged smoother covariances -- leave f64 unfloored.
+                ok_b = ok_k.reshape((-1,) + (1,) * (sig_k.ndim - 1))
                 sigma_floor = jnp.sqrt(jnp.finfo(dtype).eps) * jnp.max(
-                    jnp.where(ok_k, sig_k, 0.0)
+                    jnp.where(ok_b, sig_k, 0.0)
                 )
             else:
                 sigma_floor = jnp.zeros((), dtype)
@@ -685,15 +753,21 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
                 element_one, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None)
             )(lin, r_prev, dts_k, ok_k, z_k, jacs_k, sig_k, sigma_floor,
               pv, pinv)
+            els = _constrain(els)
+            combine_k = jax.vmap(combine) if n_blocks else combine
             prefix = jax.lax.associative_scan(
-                lambda e_i, e_j: jax.vmap(combine)(e_i, e_j), els
+                lambda e_i, e_j: jax.vmap(combine_k)(e_i, e_j), els
             )
+            prefix = _constrain(prefix)
             m0_for_marg = (
                 jnp.zeros_like(m0c_h) if deviation else m0c_h
             )  # dx_0 = x_0 - r_0 = 0 (r_0 is the window-start mean)
-            means_ch, covs_h = jax.vmap(
-                lambda pk: marginal(pk, m0_for_marg, p0_h)
-            )(prefix)
+            marginal_k = (
+                (lambda pk: jax.vmap(marginal)(pk, m0_for_marg, p0_h))
+                if n_blocks
+                else (lambda pk: marginal(pk, m0_for_marg, p0_h))
+            )
+            means_ch, covs_h = jax.vmap(marginal_k)(prefix)
             # back to physical coordinates
             means_c = pv[None, :, None] * means_ch
             if deviation:
@@ -721,8 +795,10 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
             contraction factor > 1 that no element representation fixes."""
             if form == "cov":
                 eps = jnp.finfo(dtype).eps
-                jit0 = eps * jnp.maximum(jnp.trace(p0), 1.0)
-                chol0 = _cholesky_small(p0 + jit0 * eye_m)
+                jit0 = eps * jnp.maximum(
+                    jnp.trace(p0, axis1=-2, axis2=-1), 1.0
+                )
+                chol0 = _cholesky_small(p0 + jit0[..., None, None] * eye_m)
             else:
                 chol0 = p0
             rv_w = Normal(from_cols(m0c), chol0)
@@ -745,7 +821,7 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
                 )
                 scale = jnp.where(ok_1, scale, scale_none)
                 cov_repr = (
-                    rv_new.cholesky @ rv_new.cholesky.T
+                    rv_new.cholesky @ _mT(rv_new.cholesky)
                     if form == "cov"
                     else rv_new.cholesky
                 )
@@ -755,7 +831,7 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
                 seq_step, rv_w, (ts_k, dts_k, ok_k)
             )
             p_end_s = (
-                rv_end.cholesky @ rv_end.cholesky.T
+                rv_end.cholesky @ _mT(rv_end.cholesky)
                 if form == "cov"
                 else rv_end.cholesky
             )
@@ -779,7 +855,10 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
             # only derivative rows 0..o enter the elements (residual +
             # Jacobian); higher rows of the linearization are free to wander
             # without affecting anything, so the gate ignores them
-            if lin_ret.ndim == 3:  # isotropic mean layout (w, n, d)
+            if ssm.name == "blockdiag":  # (w, d, n): derivative axis LAST
+                lr, lf = lin_ret[..., : o + 1], lin_fin[..., : o + 1]
+                okb = ok_k[:, None, None]
+            elif lin_ret.ndim == 3:  # isotropic mean layout (w, n, d)
                 lr, lf = lin_ret[:, : o + 1], lin_fin[:, : o + 1]
                 okb = ok_k[:, None, None]
             else:  # dense column layout (w, n*d), derivative-major
@@ -804,9 +883,10 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         p_end = covs[-1]
         return (m_end, p_end), (means, covs, scales)
 
-    # isotropic cholesky is (n, n) shared across d columns; dense is (nd, nd)
+    # isotropic cholesky is (n, n) shared across d columns; dense is
+    # (nd, nd); blockdiag carries one (n, n) factor per dimension (d, n, n)
     p0_init = (
-        rv0.cholesky @ rv0.cholesky.T if form == "cov" else rv0.cholesky
+        rv0.cholesky @ _mT(rv0.cholesky) if form == "cov" else rv0.cholesky
     )
     scan_inputs = (
         (ts_w, dts_w, valid_w)
@@ -817,8 +897,8 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         window_step, (to_cols(rv0.mean), p0_init), scan_inputs
     )
     means = means_w.reshape((num_w * w,) + rv0.mean.shape)[:t1]
-    covs = covs_w.reshape(num_w * w, m_dim, m_dim)[:t1]
-    scales = scales_w.reshape(num_w * w)[:t1]
+    covs = covs_w.reshape((num_w * w,) + covs_w.shape[2:])[:t1]
+    scales = scales_w.reshape((num_w * w,) + scales_w.shape[2:])[:t1]
 
     if form == "sqrt":
         chol_cols = covs  # already (lower) factors from the stacked QRs
@@ -826,7 +906,7 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         eps = jnp.finfo(dtype).eps
         jitter = eps * jnp.maximum(jnp.trace(covs, axis1=-2, axis2=-1), 1.0)
         chol_cols = _cholesky_small(
-            covs + jitter[:, None, None] * jnp.eye(m_dim, dtype=dtype)
+            covs + jitter[..., None, None] * jnp.eye(m_dim, dtype=dtype)
         )
     rvs_rest = Normal(means, chol_cols)
     rvs = jax.tree.map(

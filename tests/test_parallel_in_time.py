@@ -488,3 +488,127 @@ def test_stiffness_gated_sequential_fallback():
     a = ivpsolve.solve_fixed_grid(vf_r, init_r, **kw)
     b = ivpsolve.solve_fixed_grid(vf_r, init_r, fallback_rtol=None, **kw)
     np.testing.assert_array_equal(np.asarray(a.u), np.asarray(b.u))
+
+
+def test_time_sharded_windows_match_unsharded():
+    """time_shard=(mesh, axis): the window combines sharded along the STEP
+    axis over an 8-device mesh equal the unsharded pass — sharding is a
+    layout constraint, and it is the multi-chip axis a single IVP can scale
+    on (the sequential filter's scan cannot shard time)."""
+    from jax.sharding import Mesh
+
+    vf_p, init, grid, solver = _fixed_grid_setup("dynamic", num=65)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("t",))
+
+    kwargs = dict(grid=grid, solver=solver, parallel=True,
+                  iterations=6, window=32)
+    sol_ref = jax.jit(
+        lambda: ivpsolve.solve_fixed_grid(vf_p, init, **kwargs)
+    )()
+    sol_sh = jax.jit(
+        lambda: ivpsolve.solve_fixed_grid(
+            vf_p, init, **kwargs, time_shard=(mesh, "t")
+        )
+    )()
+    np.testing.assert_allclose(
+        np.asarray(sol_sh.u), np.asarray(sol_ref.u), rtol=1e-10, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_sh.u_std), np.asarray(sol_ref.u_std),
+        rtol=1e-8, atol=1e-12,
+    )
+
+
+def test_time_shard_rejected_on_sequential_path():
+    from jax.sharding import Mesh
+
+    vf_p, init, grid, solver = _fixed_grid_setup("dynamic", num=17)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("t",))
+    with pytest.raises(ValueError, match="time_shard"):
+        ivpsolve.solve_fixed_grid(
+            vf_p, init, grid=grid, solver=solver, time_shard=(mesh, "t")
+        )
+
+
+# -- blockdiag backend: per-dimension element chains --------------------------
+
+
+def _blockdiag_setup(strat_name, num):
+    vf, u0s, tspan, params = problems.rigid_body()
+    vf_p = lambda u, *, t: vf(u, t=t, p=params)  # noqa: E731
+    nu = 3
+    prior = ivpsolvers.prior_ibm(
+        num_derivatives=nu, ode_shape=(3,), implementation="blockdiag"
+    )
+    strat = getattr(ivpsolvers, f"strategy_{strat_name}")(
+        prior, ivpsolvers.correction_ts0()
+    )
+    solver = ivpsolvers.solver_dynamic(strat)
+    tcoeffs = taylor.odejet_padded_scan(lambda u: vf_p(u, t=tspan[0]), u0s, num=nu)
+    init = solver.initial_condition(tcoeffs, 1.0)
+    grid = jnp.linspace(*tspan, num=num)
+    return vf_p, init, grid, solver
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("form", ["cov", "sqrt"])
+def test_parallel_blockdiag_filter_matches_sequential(form):
+    """Blockdiag parallel-in-time: per-dimension (n, n) element chains share
+    the linearization, everything else is vmapped over the block axis —
+    filtered means/stds equal the sequential blockdiag filter."""
+    vf_p, init, grid, solver = _blockdiag_setup("filter", 160)
+    sol_seq = ivpsolve.solve_fixed_grid(vf_p, init, grid=grid, solver=solver)
+    sol_par = ivpsolve.solve_fixed_grid(
+        vf_p, init, grid=grid, solver=solver, parallel=True, iterations=20,
+        form=form,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_par.u), np.asarray(sol_seq.u), rtol=1e-9, atol=1e-11
+    )
+    # atol: the cov form's pre-cholesky jitter (eps * max(trace, 1)) floors
+    # tiny early-time stds at sqrt(eps) ~ 1.5e-8
+    np.testing.assert_allclose(
+        np.asarray(sol_par.u_std), np.asarray(sol_seq.u_std),
+        rtol=1e-4, atol=2e-8,
+    )
+    # per-dimension output scales survive the parallel pass
+    assert sol_par.output_scale.shape == sol_seq.output_scale.shape
+
+
+@pytest.mark.slow
+def test_parallel_blockdiag_smoother_matches_sequential():
+    """Smoother strategy on blockdiag: the parallel pass's post-reverted
+    backward conditionals reproduce the sequential smoothed marginals."""
+    vf_p, init, grid, solver = _blockdiag_setup("smoother", 160)
+    sol_seq = ivpsolve.solve_fixed_grid(vf_p, init, grid=grid, solver=solver)
+    m_seq = stats.markov_marginals(stats.markov_select_terminal(sol_seq.posterior))
+    sol_par = ivpsolve.solve_fixed_grid(
+        vf_p, init, grid=grid, solver=solver, parallel=True, iterations=20,
+        form="sqrt", warmstart="rk",
+    )
+    m_par = stats.markov_marginals(
+        stats.markov_select_terminal(sol_par.posterior), parallel=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_par.mean), np.asarray(m_seq.mean), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_fixed_grid_blockdiag_sequential_mle():
+    """Sequential fixed-grid on blockdiag: the MLE sum-of-squares carry is
+    per-dimension (regression: a scalar carry made lax.scan reject the
+    (d,)-shaped sigma update)."""
+    vf, u0s, tspan, params = problems.rigid_body()
+    vf_p = lambda u, *, t: vf(u, t=t, p=params)  # noqa: E731
+    nu = 3
+    prior = ivpsolvers.prior_ibm(
+        num_derivatives=nu, ode_shape=(3,), implementation="blockdiag"
+    )
+    strat = ivpsolvers.strategy_filter(prior, ivpsolvers.correction_ts0())
+    solver = ivpsolvers.solver_mle(strat)
+    tcoeffs = taylor.odejet_padded_scan(lambda u: vf_p(u, t=tspan[0]), u0s, num=nu)
+    init = solver.initial_condition(tcoeffs, 1.0)
+    grid = jnp.linspace(*tspan, num=33)
+    sol = ivpsolve.solve_fixed_grid(vf_p, init, grid=grid, solver=solver)
+    assert np.all(np.isfinite(np.asarray(sol.u)))
+    assert sol.output_scale.shape[-1] == 3
