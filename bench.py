@@ -170,7 +170,7 @@ def _sweep(dtype, rtols, batch, engine, *, sample, trace_dir=None, nu_map=None):
         solve = solvers[nu]
         tols = jnp.full((batch,), rtol, dtype)
         u_s, _u_f, n = solve(u0s, tols)  # compile (first rtol only) + warm
-        jax.block_until_ready(u_s)
+        harness.device_sync(u_s)
         tracer = (
             harness.profiler_trace(trace_dir)
             if (trace_dir and i == 0)
@@ -180,12 +180,12 @@ def _sweep(dtype, rtols, batch, engine, *, sample, trace_dir=None, nu_map=None):
             with tracer:
                 t0 = time.perf_counter()
                 u_s, _u_f, n = solve(u0s, tols)
-                jax.block_until_ready(u_s)
+                harness.device_sync(u_s)
                 elapsed = time.perf_counter() - t0
         except Exception:
             t0 = time.perf_counter()
             u_s, _u_f, n = solve(u0s, tols)
-            jax.block_until_ready(u_s)
+            harness.device_sync(u_s)
             elapsed = time.perf_counter() - t0
         err = np.asarray(u_s[:sample], np.float64) - truth
         rmse = float(np.sqrt(np.mean(err * err)))
@@ -268,7 +268,7 @@ def _count_capped(num_steps):
 def _sweep_hi(rtols, batch, *, sample, engine="pallas", nu_map=None):
     """Tight-tolerance band on the df32 (compensated pair) fused engine:
     one compiled program, rtol as a runtime input, RMSE gated per row."""
-    from odecheckpts_tpu import batched_hi, problems
+    from odecheckpts_tpu import batched_hi, harness, problems
 
     if nu_map is None:
         nu_map = NU_F64
@@ -292,10 +292,10 @@ def _sweep_hi(rtols, batch, *, sample, engine="pallas", nu_map=None):
         solve = solvers[nu]
         tols = np.full((batch,), rtol, np.float32)
         us, _uf, n = solve(u0s, tols)  # compile (first rtol) + warm
-        jax.block_until_ready(us[0])
+        harness.device_sync(us[0])
         t0 = time.perf_counter()
         us, _uf, n = solve(u0s, tols)
-        jax.block_until_ready(us[0])
+        harness.device_sync(us[0])
         elapsed = time.perf_counter() - t0
         u64 = batched_hi.combine64((us[0][:sample], us[1][:sample]))
         err = u64 - truth

@@ -37,7 +37,7 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from odecheckpts_tpu import ivpsolve, ivpsolvers, problems, taylor  # noqa: E402
+from odecheckpts_tpu import harness, ivpsolve, ivpsolvers, problems, taylor  # noqa: E402
 
 
 def main(window=16, iterations=12, mu=10.0, tol=1e-3, form="sqrt",
@@ -66,10 +66,10 @@ def main(window=16, iterations=12, mu=10.0, tol=1e-3, form="sqrt",
 
     def timed(fn):
         out = fn()  # compile + warm
-        jax.block_until_ready(out.u)
+        harness.device_sync(out.u)
         t_0 = time.perf_counter()
         out = fn()
-        jax.block_until_ready(out.u)
+        harness.device_sync(out.u)
         return time.perf_counter() - t_0, out
 
     t_seq, sol_seq = timed(

@@ -44,7 +44,7 @@ def main():
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    from odecheckpts_tpu import batched, batched_hi, problems
+    from odecheckpts_tpu import batched, batched_hi, harness, problems
 
     tspan = (0.0, 6.3)
     save_at = jnp.linspace(*tspan, num=4, dtype=jnp.float32)
@@ -86,10 +86,10 @@ def main():
             )
             run = solve
         u_s, _uf, n = run(u0s, tols)  # compile + warm
-        jax.block_until_ready(u_s)
+        harness.device_sync(u_s)
         t0 = time.perf_counter()
         u_s, _uf, n = run(u0s, tols)
-        jax.block_until_ready(u_s)
+        harness.device_sync(u_s)
         el = time.perf_counter() - t0
         finite = bool(jnp.all(jnp.isfinite(u_s)))
         row = {

@@ -72,7 +72,7 @@ def main():
     ap.add_argument("--sample", type=int, default=2)
     args = ap.parse_args()
 
-    from odecheckpts_tpu import batched_hi, problems
+    from odecheckpts_tpu import batched_hi, harness, problems
 
     vf, (y0,), tspan, _ = problems.brusselator(args.N, laplacian="slices")
     d = 2 * args.N
@@ -90,10 +90,10 @@ def main():
         lanes=args.lanes if args.engine.startswith("pallas") else None,
     )
     us, _uf, n = solve(y0s, tols)  # compile + warm
-    jax.block_until_ready(us[0])
+    harness.device_sync(us[0])
     t0 = time.perf_counter()
     us, _uf, n = solve(y0s, tols)
-    jax.block_until_ready(us[0])
+    harness.device_sync(us[0])
     el = time.perf_counter() - t0
     u64 = batched_hi.combine64(us)
     n = np.asarray(n)

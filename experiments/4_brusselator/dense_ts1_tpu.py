@@ -71,7 +71,7 @@ def main():
                     default=["pallas-loop", "pallas", "xla"])
     args = ap.parse_args()
 
-    from odecheckpts_tpu import batched, problems
+    from odecheckpts_tpu import batched, harness, problems
 
     vf, (y0,), tspan, _params = problems.brusselator(args.N, laplacian="slices")
     d = 2 * args.N
@@ -98,10 +98,10 @@ def main():
                 )
             )
             u_s, _u_f, n = run(u0s, tols)  # compile + warm
-            jax.block_until_ready(u_s)
+            harness.device_sync(u_s)
             t0 = time.perf_counter()
             u_s, _u_f, n = run(u0s, tols)
-            jax.block_until_ready(u_s)
+            harness.device_sync(u_s)
             secs = time.perf_counter() - t0
         except Exception as e:
             print(f"engine={engine}: FAILED ({e!r})", flush=True)

@@ -29,7 +29,7 @@ if os.environ.get("ODECKPT_PLATFORM"):
 
 import jax.numpy as jnp  # noqa: E402
 
-from odecheckpts_tpu import problems  # noqa: E402
+from odecheckpts_tpu import harness, problems  # noqa: E402
 
 # tol -> reference ATS (K=5) seconds per solve, BASELINE.md experiment 5
 REFERENCE = {1e-4: 0.015, 1e-7: 0.065}
@@ -107,10 +107,10 @@ def main(batch=8192, engine="pallas"):
             )
             dtype_name = "float32"
         u_s, _u_f, nsteps = solve(u0s, du0s, tols)  # compile + warm
-        jax.block_until_ready(u_s)
+        harness.device_sync(u_s)
         t0 = time.perf_counter()
         u_s, _u_f, nsteps = solve(u0s, du0s, tols)
-        jax.block_until_ready(u_s)
+        harness.device_sync(u_s)
         dt = time.perf_counter() - t0
         if hi_row:
             u_s = jnp.asarray(batched_hi.combine64(u_s))

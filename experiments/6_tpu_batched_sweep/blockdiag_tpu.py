@@ -75,7 +75,7 @@ def _truth_rows(rows, save_at):
 
 
 def main(batch=4096, tol=1e-5, sample=64):
-    from odecheckpts_tpu import batched
+    from odecheckpts_tpu import batched, harness
 
     params = (-2.0, 1.25, -0.5)
     u0 = np.array([1.0, 0.0, 0.9]) * SCALE
@@ -109,10 +109,10 @@ def main(batch=4096, tol=1e-5, sample=64):
         )
         try:
             u_s, _u_f, n = solve(u0s)
-            jax.block_until_ready(u_s)
+            harness.device_sync(u_s)
             t0 = time.perf_counter()
             u_s, _u_f, n = solve(u0s)
-            jax.block_until_ready(u_s)
+            harness.device_sync(u_s)
             elapsed = time.perf_counter() - t0
         except Exception as e:  # engine unsupported on this platform
             print(f"# {impl}/{engine} failed: {e!r}", file=sys.stderr)

@@ -35,7 +35,7 @@ if os.environ.get("ODECKPT_PLATFORM"):
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from odecheckpts_tpu import batched, problems  # noqa: E402
+from odecheckpts_tpu import batched, harness, problems  # noqa: E402
 
 
 def main(batch=8 * 32768, num_buckets=8, engine="pallas"):
@@ -56,10 +56,10 @@ def main(batch=8 * 32768, num_buckets=8, engine="pallas"):
 
     def timed(fn):
         out = fn()  # compile + warm
-        jax.block_until_ready(out)
+        harness.device_sync(out)
         t0 = time.perf_counter()
         out = fn()
-        jax.block_until_ready(out)
+        harness.device_sync(out)
         return time.perf_counter() - t0
 
     solve_unbucketed = jax.jit(

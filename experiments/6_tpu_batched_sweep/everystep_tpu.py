@@ -29,7 +29,7 @@ import numpy as np  # noqa: E402
 
 
 def main(batch=4096, tol=1e-4, max_steps=256, tspan=(0.0, 10.0)):
-    from odecheckpts_tpu import batched, batched_everystep, problems
+    from odecheckpts_tpu import batched, batched_everystep, harness, problems
 
     vf, (u0,), _ts, params = problems.rigid_body()
     key = jax.random.PRNGKey(0)
@@ -48,10 +48,10 @@ def main(batch=4096, tol=1e-4, max_steps=256, tspan=(0.0, 10.0)):
         )
         try:
             out = solve(u0s)
-            jax.block_until_ready(out.u)
+            harness.device_sync(out.u)
             t0 = time.perf_counter()
             out = solve(u0s)
-            jax.block_until_ready(out.u)
+            harness.device_sync(out.u)
             elapsed = time.perf_counter() - t0
         except Exception as e:
             print(f"# everystep/{engine} failed: {e!r}", file=sys.stderr)
@@ -78,10 +78,10 @@ def main(batch=4096, tol=1e-4, max_steps=256, tspan=(0.0, 10.0)):
         )
     )
     u_s, _uf, n = solve_sa(u0s)
-    jax.block_until_ready(u_s)
+    harness.device_sync(u_s)
     t0 = time.perf_counter()
     u_s, _uf, n = solve_sa(u0s)
-    jax.block_until_ready(u_s)
+    harness.device_sync(u_s)
     elapsed = time.perf_counter() - t0
     row = {
         "driver": "save_at-fixedpoint (foil)",

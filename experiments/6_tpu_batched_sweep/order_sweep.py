@@ -42,7 +42,7 @@ if os.environ.get("ODECKPT_PLATFORM"):
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from odecheckpts_tpu import batched_hi, problems  # noqa: E402
+from odecheckpts_tpu import batched_hi, harness, problems  # noqa: E402
 
 RMSE_BOUND_FACTOR = 3.0
 LANE_BOUND_FACTOR = 6.0
@@ -108,10 +108,10 @@ def main(argv=None):
         for rtol in args.rtols_f32:
             tols = jnp.full((args.batch,), rtol, jnp.float32)
             u_s, _uf, n = solve32(u0s, tols)  # compile + warm
-            jax.block_until_ready(u_s)
+            harness.device_sync(u_s)
             t0 = time.perf_counter()
             u_s, _uf, n = solve32(u0s, tols)
-            jax.block_until_ready(u_s)
+            harness.device_sync(u_s)
             elapsed = time.perf_counter() - t0
             err = np.asarray(u_s[: args.sample], np.float64) - truth
             rmse = float(np.sqrt(np.mean(err * err)))
@@ -149,10 +149,10 @@ def main(argv=None):
         for rtol in args.rtols:
             tols = np.full((args.batch,), rtol, np.float32)
             us, _uf, n = solve(u0s, tols)  # compile (first rtol) + warm
-            jax.block_until_ready(us[0])
+            harness.device_sync(us[0])
             t0 = time.perf_counter()
             us, _uf, n = solve(u0s, tols)
-            jax.block_until_ready(us[0])
+            harness.device_sync(us[0])
             elapsed = time.perf_counter() - t0
             u64 = batched_hi.combine64(
                 (us[0][: args.sample], us[1][: args.sample])

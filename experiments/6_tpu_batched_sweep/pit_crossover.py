@@ -51,7 +51,7 @@ if os.environ.get("ODECKPT_PLATFORM"):
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from odecheckpts_tpu import ivpsolve, ivpsolvers, problems, taylor  # noqa: E402
+from odecheckpts_tpu import harness, ivpsolve, ivpsolvers, problems, taylor  # noqa: E402
 
 
 def _build(nu=3):
@@ -69,13 +69,17 @@ def _build(nu=3):
 
 
 def _time(fn, *args, reps):
+    # device_sync, not bare block_until_ready: the axon relay pipelines
+    # dispatches, and small-output programs "complete" instantly under
+    # block_until_ready (first committed run of this script recorded the
+    # T=4097 sequential solve at 0.08 ms; a host read shows 106 ms)
     out = fn(*args)
-    jax.block_until_ready(out)
+    harness.device_sync(out)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        harness.device_sync(out)
         times.append(time.perf_counter() - t0)
     return float(np.median(times)), out
 

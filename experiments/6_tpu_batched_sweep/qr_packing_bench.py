@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 from odecheckpts_tpu.batched import _qr_r_cols  # noqa: E402
+from odecheckpts_tpu import harness  # noqa: E402
 
 
 def _qr_r_masked(x, m, n):
@@ -157,10 +158,10 @@ def main(lanes=512, iters=200, batch=8192, nu=4):
         run = _bench_kernel(variant, m, 2 * n, lanes, iters)
         try:
             out = run(x)
-            jax.block_until_ready(out)
+            harness.device_sync(out)
             t0 = time.perf_counter()
             out = run(x)
-            jax.block_until_ready(out)
+            harness.device_sync(out)
             elapsed = time.perf_counter() - t0
         except Exception as e:
             print(f"# {variant} failed: {e!r}", file=sys.stderr)

@@ -24,7 +24,7 @@ if os.environ.get("ODECKPT_PLATFORM"):
 
 import jax.numpy as jnp  # noqa: E402
 
-from odecheckpts_tpu import parallel, problems  # noqa: E402
+from odecheckpts_tpu import harness, parallel, problems  # noqa: E402
 
 # solver-rtol -> reference seconds/solve (TS0(4) "jit loop", BASELINE.md exp 2;
 # NB the reference applies a x100 tolerance shift, so its rows labeled
@@ -71,10 +71,10 @@ def main(batch=1024, use_mesh=False, dtype=jnp.float32, engine="fused",
     for tol, ref_s in REFERENCE.items():
         tols = place(jnp.full((batch,), tol, dtype))
         u, steps = solve(u0s, tols)  # compile
-        jax.block_until_ready(u)
+        harness.device_sync(u)
         t0 = time.perf_counter()
         u, steps = solve(u0s, tols)
-        jax.block_until_ready(u)
+        harness.device_sync(u)
         dt = time.perf_counter() - t0
         assert bool(jnp.all(jnp.isfinite(u)))
         rate = batch / dt

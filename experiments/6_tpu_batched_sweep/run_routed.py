@@ -37,7 +37,7 @@ def main():
 
     import scipy.integrate
 
-    from odecheckpts_tpu import batched_hi, problems
+    from odecheckpts_tpu import batched_hi, harness, problems
 
     vf, (u0,), tspan, params = problems.rigid_body(time_span=(0.0, 50.0))
     save_at = np.linspace(0.0, 50.0, 5)
@@ -99,10 +99,10 @@ def main():
         vf_df=problems.rigid_body_df(params), engine=args.engine, lanes=1024,
     )
     us, _uf, _n = hi(u0s, rtols)
-    jax.block_until_ready(us[0])
+    harness.device_sync(us[0])
     t0 = time.perf_counter()
     us, _uf, _n = hi(u0s, rtols)
-    jax.block_until_ready(us[0])
+    harness.device_sync(us[0])
     el_hi = time.perf_counter() - t0
     results["all_df32_unbucketed"] = {
         "seconds": round(el_hi, 4),

@@ -40,6 +40,28 @@ def rmse_absolute(expected) -> Callable:
     return rmse
 
 
+def device_sync(tree):
+    """Synchronize with the device execution queue; use this (never bare
+    ``jax.block_until_ready``) to end a timed region.
+
+    ``block_until_ready`` alone is NOT sufficient through the axon TPU
+    relay: dispatches pipeline, and the ready marker can resolve before the
+    program has actually executed (measured: a 4096-step sequential scan
+    "timed" at 0.09 ms via block_until_ready vs 106 ms with a host read;
+    large-output programs hit the relay's backpressure and time correctly,
+    which is why the wide batched-bench rows were unaffected).  Reading one
+    element of one output buffer back to the host adds a data dependency the
+    queue must drain.  Costs one tiny host RTT.  Assumes the timed region is
+    one executable (all leaves come from the same program) -- true for every
+    jitted solve here."""
+    tree = jax.block_until_ready(tree)
+    leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "dtype")]
+    if leaves:
+        x = leaves[0]
+        jax.device_get(x.ravel()[:1] if x.ndim else x)
+    return tree
+
+
 def timeit_fun(repeats: int = 3) -> Callable:
     def timer(fun, /):
         _ = fun()  # warm-up (compile excluded)
@@ -53,7 +75,7 @@ def runtime_min(function: Callable, num_runs: int = 3) -> float:
     for _ in range(num_runs):
         t0 = time.perf_counter()
         out = function()
-        jax.block_until_ready(out)
+        device_sync(out)
         t1 = time.perf_counter()
         cts.append(t1 - t0)
     return min(cts)
@@ -66,10 +88,10 @@ def jit_and_time(fun: Callable) -> Callable:
 
     def fun_wrapped():
         out = fun()
-        jax.block_until_ready(out)
+        device_sync(out)
         t0 = time.perf_counter()
         out = fun()
-        jax.block_until_ready(out)
+        device_sync(out)
         t1 = time.perf_counter()
         return t1 - t0, out
 
@@ -88,7 +110,7 @@ def timed_cold(fun: Callable, *args, **kwargs):
     jax.clear_caches()
     t0 = time.perf_counter()
     out = fun(*args, **kwargs)
-    jax.block_until_ready(out)
+    device_sync(out)
     return time.perf_counter() - t0, out
 
 
@@ -123,7 +145,7 @@ def workprec(fun, *, precision_fun: Callable, timeit_fun: Callable) -> Callable:
             sol, aux = fun(arg)
             precisions.append(precision_fun(sol))
             lengths.append(len(aux["u0_solve"]))
-            times = timeit_fun(lambda: jax.block_until_ready(fun(arg)[0]))  # noqa: B023
+            times = timeit_fun(lambda: device_sync(fun(arg)[0]))  # noqa: B023
             works_min.append(min(times))
             works_mean.append(statistics.mean(times))
             works_std.append(statistics.stdev(times) if len(times) > 1 else 0.0)

@@ -216,11 +216,13 @@ def workprec_batched(solve_batch, u0s, params, tols):
     """Run a batched sweep once and report throughput-oriented metrics."""
     import time
 
+    from . import harness
+
     u, steps = solve_batch(u0s, params, tols)
-    jax.block_until_ready(u)
+    harness.device_sync(u)
     t0 = time.perf_counter()
     u, steps = solve_batch(u0s, params, tols)
-    jax.block_until_ready(u)
+    harness.device_sync(u)
     elapsed = time.perf_counter() - t0
     batch = jax.tree.leaves(tols)[0].shape[0]
     return {
