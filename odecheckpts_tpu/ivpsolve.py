@@ -627,7 +627,7 @@ def solve_adaptive_parallel_in_time(
 def solve_fixed_grid(
     vf, init, *, grid, solver, parallel=False, iterations=8, window=16,
     form="cov", warmstart=None, damping=0.0, precondition=True,
-    deviation=True, fallback_rtol=1.0, time_shard=None,
+    deviation=True, fallback_rtol=1.0, time_shard=None, combine_engine=None,
 ):
     """Non-adaptive solve on a user grid (any strategy), one ``lax.scan``.
 
@@ -654,15 +654,17 @@ def solve_fixed_grid(
             window=window, form=form, warmstart=warmstart, damping=damping,
             precondition=precondition, deviation=deviation,
             fallback_rtol=fallback_rtol, time_shard=time_shard,
+            combine_engine=combine_engine,
         )
     if form != "cov" or warmstart is not None or damping != 0.0 or (
-        time_shard is not None
+        time_shard is not None or combine_engine is not None
     ):
         raise ValueError(
-            "form/warmstart/damping/time_shard configure the parallel-in-time "
-            "sweep and have no effect when parallel=False; pass parallel=True "
-            f"or drop them (got form={form!r}, warmstart={warmstart!r}, "
-            f"damping={damping!r}, time_shard={time_shard!r})."
+            "form/warmstart/damping/time_shard/combine_engine configure the "
+            "parallel-in-time sweep and have no effect when parallel=False; "
+            "pass parallel=True or drop them (got "
+            f"form={form!r}, warmstart={warmstart!r}, damping={damping!r}, "
+            f"time_shard={time_shard!r}, combine_engine={combine_engine!r})."
         )
     ssm = solver.ssm
     strategy = solver.strategy

@@ -455,7 +455,7 @@ def _parse_warmstart(warmstart):
 def solve_fixed_grid_parallel(
     vf, init, *, grid, solver, iterations=8, window=16, form="cov",
     warmstart=None, damping=0.0, precondition=True, deviation=True,
-    fallback_rtol=1.0, time_shard=None,
+    fallback_rtol=1.0, time_shard=None, combine_engine=None,
 ):
     """Fixed-grid solve, parallel-in-time within windows.
 
@@ -506,6 +506,16 @@ def solve_fixed_grid_parallel(
     """
     if form not in ("cov", "sqrt"):
         raise ValueError(f"form must be 'cov' or 'sqrt', got {form!r}")
+    if combine_engine not in (None, "ll", "pallas", "pallas-interpret"):
+        raise ValueError(
+            "combine_engine must be None (associative_scan), 'll' (lanes-"
+            "last Kogge-Stone under XLA), 'pallas' (one Mosaic kernel per "
+            f"level), or 'pallas-interpret'; got {combine_engine!r}"
+        )
+    if combine_engine is not None and form != "sqrt":
+        raise ValueError(
+            "combine_engine fuses the SQRT element combine; pass form='sqrt'"
+        )
     _parse_warmstart(warmstart)  # validate early
     # TPU matmul passes at default precision corrupt the element combines
     # (observed: NaN on-chip, bit-clean on CPU); force exact accumulation
@@ -515,13 +525,15 @@ def solve_fixed_grid_parallel(
             window=window, form=form, warmstart=warmstart, damping=damping,
             precondition=precondition, deviation=deviation,
             fallback_rtol=fallback_rtol, time_shard=time_shard,
+            combine_engine=combine_engine,
         )
 
 
 def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
                                form="cov", warmstart=None, damping=0.0,
                                precondition=True, deviation=True,
-                               fallback_rtol=1.0, time_shard=None):
+                               fallback_rtol=1.0, time_shard=None,
+                               combine_engine=None):
     from .ivpsolve import Solution, _validate_increasing
 
     ssm = solver.ssm
@@ -536,6 +548,11 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
 
     o = corr.ode_order
     materialize, to_cols, from_cols, m_dim, c_dim, n_blocks = _adapters(ssm)
+    if combine_engine is not None and n_blocks:
+        raise NotImplementedError(
+            "combine_engine covers the shared-covariance layouts "
+            "(isotropic/dense); blockdiag keeps the associative_scan path"
+        )
     ts, dts = grid[1:], jnp.diff(grid)
     t1 = len(ts)
     w = max(1, min(window, t1))
@@ -754,10 +771,28 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
             )(lin, r_prev, dts_k, ok_k, z_k, jacs_k, sig_k, sigma_floor,
               pv, pinv)
             els = _constrain(els)
-            combine_k = jax.vmap(combine) if n_blocks else combine
-            prefix = jax.lax.associative_scan(
-                lambda e_i, e_j: jax.vmap(combine_k)(e_i, e_j), els
-            )
+            if combine_engine is not None:
+                # lanes-last fused prefix (pit_fused): one full-width combine
+                # per Kogge-Stone level instead of associative_scan's tree of
+                # tiny batched (m, m) kernels
+                from . import pit_fused
+
+                els_ll = jax.tree.map(lambda x: jnp.moveaxis(x, 0, -1), els)
+                pre_ll = pit_fused.prefix_scan_sqrt_ll(
+                    els_ll,
+                    engine=(
+                        "pallas"
+                        if combine_engine.startswith("pallas")
+                        else "xla"
+                    ),
+                    interpret=combine_engine == "pallas-interpret",
+                )
+                prefix = jax.tree.map(lambda x: jnp.moveaxis(x, -1, 0), pre_ll)
+            else:
+                combine_k = jax.vmap(combine) if n_blocks else combine
+                prefix = jax.lax.associative_scan(
+                    lambda e_i, e_j: jax.vmap(combine_k)(e_i, e_j), els
+                )
             prefix = _constrain(prefix)
             m0_for_marg = (
                 jnp.zeros_like(m0c_h) if deviation else m0c_h

@@ -1,0 +1,261 @@
+"""Fused lanes-last parallel-prefix for the sqrt parallel-in-time elements.
+
+``jax.lax.associative_scan`` over the sqrt filtering elements
+(parallel_time._combine_sqrt) lowers each tree level into dozens of tiny
+batched (m, m) matmul/QR kernels (m = 5 for the isotropic nu=4 state) --
+the same launch-overhead-bound fragmentation the fused step engines in
+``batched.py`` solved with the lanes-last layout.  This module provides the
+equivalent treatment for the prefix combine:
+
+* every element field carries the STEP axis as its last (128-lane)
+  dimension -- (m, m, P) transition/covariance factors, (m, c, P) mean
+  columns -- so each combine is a handful of full-width VPU broadcasts
+  instead of P tiny matrix ops;
+* the prefix runs as a Kogge-Stone scan: ceil(log2(P)) levels, each ONE
+  full-width lanes-last combine.  In vector form every level costs one
+  full-width combine regardless of the scan algorithm, so Kogge-Stone
+  (log2 P levels) strictly beats the work-efficient two-pass tree
+  (2 log2 P levels) here;
+* ``engine="pallas"`` additionally fuses each level's combine into a single
+  Mosaic kernel (the shift/select between levels stays at the XLA level,
+  where it fuses into the operand copies).
+
+Semantics match ``parallel_time._combine_sqrt`` exactly up to orthogonal
+right-factors of (U, Z) (QR sign/rotation freedom; all consumers read the
+factors through their Grams), verified by tests/test_parallel_in_time.py.
+
+Reference anchor: this replaces the hot loop behind the paper-adjacent
+parallel-in-time option (SURVEY.md section 5 "long-context" stretch goal);
+the reference itself has no parallel-in-time code.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .batched import _qr_r_cols, _matmul_ll
+
+
+def _mat(a, b):
+    """(m, k, B) @ (k, l, B) lanes-last matmul (unrolled broadcast-sum)."""
+    return _matmul_ll(a, b, a.shape[1])
+
+
+def _swap(a):
+    return jnp.swapaxes(a, 0, 1)
+
+
+def _psolve_ll(r, x):
+    """Solve (R^T R) Y = X for upper-triangular (m, m, B) R, X (m, k, B).
+
+    Forward substitution with R^T, then backward with R -- the Gram-form
+    solve the sqrt elements carry (parallel_time._psolve, lanes-last)."""
+    m = r.shape[0]
+    w = [None] * m
+    for i in range(m):  # R^T w = x
+        acc = x[i]
+        for k in range(i):
+            acc = acc - r[k, i][None, :] * w[k]
+        w[i] = acc / r[i, i][None, :]
+    out = [None] * m
+    for i in reversed(range(m)):  # R y = w
+        acc = w[i]
+        for k in range(i + 1, m):
+            acc = acc - r[i, k][None, :] * out[k]
+        out[i] = acc / r[i, i][None, :]
+    return jnp.stack(out, axis=0)
+
+
+def _rsolve_upper_ll(x, r):
+    """Y = X R^{-1} for upper-triangular (m, m, B) R, X (m, m, B):
+    forward substitution over the columns of R (parallel_time._rsolve_upper,
+    lanes-last)."""
+    m = r.shape[0]
+    cols = [None] * m
+    for j in range(m):
+        acc = jax.lax.slice_in_dim(x, j, j + 1, axis=1)[:, 0, :]  # (m, B)
+        for k in range(j):
+            acc = acc - cols[k] * r[k, j][None, :]
+        cols[j] = acc / r[j, j][None, :]
+    return jnp.stack(cols, axis=1)
+
+
+def _qr_stacked(top_rows, bottom_rows, m):
+    """R of the (2m, m) stack whose column c is [top_rows[c]; bottom_rows[c]]
+    ((m, B) each); returns the (m, m, B) upper-triangular R."""
+    cols = [
+        jnp.concatenate([top_rows[c], bottom_rows[c]], axis=0)
+        for c in range(m)
+    ]
+    cols = _qr_r_cols(cols, 2 * m, m)
+    return jnp.stack([c[:m] for c in cols], axis=1)
+
+
+def combine_sqrt_ll(e_i, e_j):
+    """Lanes-last sqrt combination (parallel_time._combine_sqrt, with the
+    step/pair axis as the trailing lane dimension).
+
+    Elements are (A, b, U, eta, Z) with shapes (m, m, B), (m, c, B),
+    (m, m, B), (m, c, B), (m, m, B); C = U U^T, J = Z Z^T.  Pure jnp
+    (scatter-free one-hots, unrolled small-matrix loops), so it lowers both
+    under XLA and inside a Mosaic kernel.
+    """
+    a_i, b_i, u_i, eta_i, z_i = e_i
+    a_j, b_j, u_j, eta_j, z_j = e_j
+    m = a_i.shape[0]
+    dt = a_i.dtype
+
+    uiT = _swap(u_i)
+    zjT = _swap(z_j)
+    mm = _mat(uiT, z_j)  # (m, m, B)
+    mmT = _swap(mm)
+
+    # one-hot identity rows for the [M; I] stacks (scatter-free: iota ==)
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    ones_b = jnp.ones_like(a_i[0, 0])[None, :]  # (1, B)
+    eye_rows = [
+        (rows_iota == c).astype(dt) * ones_b for c in range(m)
+    ]  # each (m, B)
+
+    # R1^T R1 = I + M M^T (QR of [M^T; I]); R2^T R2 = I + M^T M ([M; I])
+    r1 = _qr_stacked([mmT[:, c, :] for c in range(m)], eye_rows, m)
+    r2 = _qr_stacked([mm[:, c, :] for c in range(m)], eye_rows, m)
+
+    # (I + C_i J_j)^{-1} x = x - U_i (R1^T R1)^{-1} M Z_j^T x
+    zta = _mat(zjT, a_i)
+    a = _mat(a_j, a_i) - _mat(_mat(a_j, u_i), _psolve_ll(r1, _mat(mm, zta)))
+    x = b_i + _mat(u_i, _mat(uiT, eta_j))
+    b = (
+        _mat(a_j, x - _mat(u_i, _psolve_ll(r1, _mat(mm, _mat(zjT, x)))))
+        + b_j
+    )
+    # (I + C_i J_j)^{-1} C_i = (U_i R1^{-1})(U_i R1^{-1})^T
+    v = _rsolve_upper_ll(u_i, r1)
+    ajv = _mat(a_j, v)
+    u = _swap(_qr_stacked([ajv[c] for c in range(m)], [u_j[c] for c in range(m)], m))
+
+    # dual side: (I + J_j C_i)^{-1} y = y - Z_j (R2^T R2)^{-1} M^T U_i^T y
+    y0 = eta_j - _mat(z_j, _mat(zjT, b_i))
+    eta = (
+        _mat(_swap(a_i), y0 - _mat(z_j, _psolve_ll(r2, _mat(mmT, _mat(uiT, y0)))))
+        + eta_i
+    )
+    y = _rsolve_upper_ll(z_j, r2)
+    # column c of (y^T a_i) = row c of (a_i^T y)
+    aty = _mat(_swap(a_i), y)
+    z = _swap(_qr_stacked([aty[c] for c in range(m)], [z_i[c] for c in range(m)], m))
+    return (a, b, u, eta, z)
+
+
+def identity_element_ll(m, c, p, dtype):
+    """Neutral sqrt element broadcast over ``p`` lanes: x_k = x_{k-1}."""
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (m, m, 1), 0)
+    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (m, m, 1), 1)
+    eye = jnp.broadcast_to((rows_iota == cols_iota).astype(dtype), (m, m, p))
+    zmm = jnp.zeros((m, m, p), dtype)
+    zmc = jnp.zeros((m, c, p), dtype)
+    return (eye, zmc, zmm, zmc, zmm)
+
+
+def _pallas_combine(m, c, lanes, interpret):
+    """One full-width lanes-last combine as a single Mosaic kernel, tiled in
+    ``lanes``-wide blocks along the trailing axis."""
+    from jax.experimental import pallas as pl
+
+    n_in = 10
+
+    def kernel(*refs):
+        ins = [r[...] for r in refs[:n_in]]
+        outs = combine_sqrt_ll(tuple(ins[:5]), tuple(ins[5:]))
+        for r, o in zip(refs[n_in:], outs):
+            r[...] = o
+
+    def call(e_i, e_j):
+        operands = list(e_i) + list(e_j)
+        p = operands[0].shape[-1]
+        grid = (max(1, p // lanes),)
+
+        def spec(arr):
+            blk = arr.shape[:-1] + (min(lanes, p),)
+            nd = arr.ndim
+            return pl.BlockSpec(blk, lambda i, _nd=nd: (0,) * (_nd - 1) + (i,))
+
+        out_shapes = [
+            jax.ShapeDtypeStruct(o.shape, o.dtype) for o in operands[:5]
+        ]
+        res = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[spec(o) for o in operands],
+            out_specs=[spec(o) for o in operands[:5]],
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(*operands)
+        return tuple(res)
+
+    return call
+
+
+def prefix_scan_sqrt_ll(els_ll, *, engine="xla", lanes=512, interpret=False):
+    """Inclusive prefix of lanes-last sqrt elements under ``combine_sqrt_ll``.
+
+    ``els_ll``: (A, b, U, eta, Z) with trailing step axis P.  Kogge-Stone:
+    level s combines each element with its s-left neighbour (identity fill),
+    so prefix[i] accumulates elements [0..i] after ceil(log2 P) levels.
+    ``engine="pallas"`` runs each level's combine as one Mosaic kernel
+    (requires P padded to the 128-lane tile; handled here).
+    """
+    a = els_ll[0]
+    p0 = a.shape[-1]
+    m, c = els_ll[1].shape[0], els_ll[1].shape[1]
+    dtype = a.dtype
+
+    pad = 0
+    if engine == "pallas":
+        tile = min(lanes, max(128, 128 * ((p0 + 127) // 128)))
+        pad = (-p0) % min(tile, 128)
+    if pad:
+        idp = identity_element_ll(m, c, pad, dtype)
+        els_ll = tuple(
+            jnp.concatenate([e, i], axis=-1) for e, i in zip(els_ll, idp)
+        )
+    p = p0 + pad
+
+    if engine == "pallas":
+        combine = _pallas_combine(m, c, min(lanes, p), interpret)
+    else:
+        combine = combine_sqrt_ll
+
+    ident = identity_element_ll(m, c, p, dtype)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, p), 2)
+    pre = els_ll
+    s = 1
+    while s < p:
+        shifted = tuple(
+            jnp.concatenate(
+                [
+                    jax.lax.slice_in_dim(i_el, 0, s, axis=-1),
+                    jax.lax.slice_in_dim(x, 0, p - s, axis=-1),
+                ],
+                axis=-1,
+            )
+            for x, i_el in zip(pre, ident)
+        )
+        new = combine(shifted, pre)
+        mask = lane_iota >= s
+        pre = tuple(jnp.where(mask, nw, old) for nw, old in zip(new, pre))
+        s *= 2
+    if pad:
+        pre = tuple(jax.lax.slice_in_dim(x, 0, p0, axis=-1) for x in pre)
+    return pre
+
+
+def prefix_scan_sqrt(els, *, engine="xla", lanes=512, interpret=False):
+    """Step-axis-leading convenience wrapper: elements (P, m, m)/(P, m, c)
+    in, inclusive prefixes in the same layout out."""
+    els_ll = tuple(jnp.moveaxis(e, 0, -1) for e in els)
+    pre = prefix_scan_sqrt_ll(
+        els_ll, engine=engine, lanes=lanes, interpret=interpret
+    )
+    return tuple(jnp.moveaxis(e, -1, 0) for e in pre)
