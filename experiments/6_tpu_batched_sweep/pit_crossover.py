@@ -111,29 +111,58 @@ def main(argv=None):
             {"T": t_n, "mode": "sequential", "time_s": t_seq}
         )
 
-        for window, iters, warm in [
-            (512, 2, "rk:16"),
-            (1024, 2, "rk:16"),
-            (1024, 2, "rk"),
-            (2048, 2, "rk:16"),
+        for window, iters, warm, engine in [
+            (512, 2, "rk:16", None),
+            (512, 2, "rk:16", "ll"),
+            (512, 2, "rk:16", "pallas"),
+            (1024, 2, "rk:16", None),
+            (1024, 2, "rk:16", "ll"),
+            (1024, 2, "rk:16", "pallas"),
+            (1024, 2, "rk", None),
+            (2048, 2, "rk:16", None),
+            (2048, 2, "rk:16", "ll"),
+            (2048, 2, "rk:16", "pallas"),
         ]:
             if window >= t_n:
                 continue
 
-            def par(g, i, _w=window, _k=iters, _ws=warm):
+            def par(g, i, _w=window, _k=iters, _ws=warm, _e=engine):
                 return ivpsolve.solve_fixed_grid(
                     vf, i, grid=g, solver=solver, parallel=True,
                     window=_w, iterations=_k, warmstart=_ws, form="sqrt",
+                    combine_engine=_e,
                 )
 
-            t_par, sol_par = _time(jax.jit(par), grid, init32, reps=args.reps)
+            try:
+                t_par, sol_par = _time(
+                    jax.jit(par), grid, init32, reps=args.reps
+                )
+            except Exception as e:  # e.g. a Mosaic lowering fault on-chip
+                print(
+                    f"T={t_n}  parallel w={window:5d} combine={engine or 'scan'}"
+                    f": FAILED {type(e).__name__}: {str(e)[:120]}",
+                    flush=True,
+                )
+                results.append(
+                    {
+                        "T": t_n,
+                        "mode": "parallel",
+                        "window": window,
+                        "iterations": iters,
+                        "warmstart": warm,
+                        "combine_engine": engine,
+                        "error": f"{type(e).__name__}: {str(e)[:300]}",
+                    }
+                )
+                continue
             rel = float(
                 np.max(np.abs(np.asarray(sol_par.u) - u_seq))
                 / max(np.max(np.abs(u_seq)), 1e-30)
             )
             ratio = t_seq / t_par
             print(
-                f"T={t_n}  parallel w={window:5d} k={iters} warm={warm}: "
+                f"T={t_n}  parallel w={window:5d} k={iters} warm={warm} "
+                f"combine={engine or 'scan'}: "
                 f"{t_par * 1e3:9.2f} ms  seq/par={ratio:5.2f}x  rel={rel:.2e}",
                 flush=True,
             )
@@ -144,6 +173,7 @@ def main(argv=None):
                     "window": window,
                     "iterations": iters,
                     "warmstart": warm,
+                    "combine_engine": engine,
                     "time_s": t_par,
                     "speedup_vs_seq": ratio,
                     "rel_vs_seq": rel,

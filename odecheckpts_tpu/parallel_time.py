@@ -548,11 +548,6 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
 
     o = corr.ode_order
     materialize, to_cols, from_cols, m_dim, c_dim, n_blocks = _adapters(ssm)
-    if combine_engine is not None and n_blocks:
-        raise NotImplementedError(
-            "combine_engine covers the shared-covariance layouts "
-            "(isotropic/dense); blockdiag keeps the associative_scan path"
-        )
     ts, dts = grid[1:], jnp.diff(grid)
     t1 = len(ts)
     w = max(1, min(window, t1))
@@ -774,12 +769,20 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
             if combine_engine is not None:
                 # lanes-last fused prefix (pit_fused): one full-width combine
                 # per Kogge-Stone level instead of associative_scan's tree of
-                # tiny batched (m, m) kernels
+                # tiny batched (m, m) kernels.  Matrix dims lead; blockdiag's
+                # per-dimension block axis sits between them and the lanes.
                 from . import pit_fused
 
-                els_ll = jax.tree.map(lambda x: jnp.moveaxis(x, 0, -1), els)
+                def _to_ll(x):
+                    x = jnp.moveaxis(x, 0, -1)  # steps -> lanes
+                    return jnp.moveaxis(x, 0, -2) if n_blocks else x
+
+                def _from_ll(x):
+                    x = jnp.moveaxis(x, -2, 0) if n_blocks else x
+                    return jnp.moveaxis(x, -1, 0)
+
                 pre_ll = pit_fused.prefix_scan_sqrt_ll(
-                    els_ll,
+                    jax.tree.map(_to_ll, els),
                     engine=(
                         "pallas"
                         if combine_engine.startswith("pallas")
@@ -787,7 +790,7 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
                     ),
                     interpret=combine_engine == "pallas-interpret",
                 )
-                prefix = jax.tree.map(lambda x: jnp.moveaxis(x, -1, 0), pre_ll)
+                prefix = jax.tree.map(_from_ll, pre_ll)
             else:
                 combine_k = jax.vmap(combine) if n_blocks else combine
                 prefix = jax.lax.associative_scan(

@@ -111,9 +111,13 @@ def combine_sqrt_ll(e_i, e_j):
     mm = _mat(uiT, z_j)  # (m, m, B)
     mmT = _swap(mm)
 
-    # one-hot identity rows for the [M; I] stacks (scatter-free: iota ==)
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
-    ones_b = jnp.ones_like(a_i[0, 0])[None, :]  # (1, B)
+    # one-hot identity rows for the [M; I] stacks (scatter-free: iota ==).
+    # Rank-polymorphic: extra batch axes (blockdiag's per-dimension blocks)
+    # may sit between the matrix dims and the trailing lane axis.
+    rows_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (m,) + (1,) * (a_i.ndim - 2), 0
+    )
+    ones_b = jnp.ones_like(a_i[0, 0])[None]  # (1, *extra, B)
     eye_rows = [
         (rows_iota == c).astype(dt) * ones_b for c in range(m)
     ]  # each (m, B)
@@ -148,13 +152,20 @@ def combine_sqrt_ll(e_i, e_j):
     return (a, b, u, eta, z)
 
 
-def identity_element_ll(m, c, p, dtype):
-    """Neutral sqrt element broadcast over ``p`` lanes: x_k = x_{k-1}."""
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (m, m, 1), 0)
-    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (m, m, 1), 1)
-    eye = jnp.broadcast_to((rows_iota == cols_iota).astype(dtype), (m, m, p))
-    zmm = jnp.zeros((m, m, p), dtype)
-    zmc = jnp.zeros((m, c, p), dtype)
+def identity_element_ll(m, c, p, dtype, extra=()):
+    """Neutral sqrt element broadcast over ``p`` lanes: x_k = x_{k-1}.
+
+    ``extra``: batch axes between the matrix dims and the lane axis
+    (blockdiag's per-dimension block axis)."""
+    extra = tuple(extra)
+    tail = (1,) * (len(extra) + 1)
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (m, m) + tail, 0)
+    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (m, m) + tail, 1)
+    eye = jnp.broadcast_to(
+        (rows_iota == cols_iota).astype(dtype), (m, m) + extra + (p,)
+    )
+    zmm = jnp.zeros((m, m) + extra + (p,), dtype)
+    zmc = jnp.zeros((m, c) + extra + (p,), dtype)
     return (eye, zmc, zmm, zmc, zmm)
 
 
@@ -209,6 +220,7 @@ def prefix_scan_sqrt_ll(els_ll, *, engine="xla", lanes=512, interpret=False):
     a = els_ll[0]
     p0 = a.shape[-1]
     m, c = els_ll[1].shape[0], els_ll[1].shape[1]
+    extra = a.shape[2:-1]  # blockdiag block axes, if any
     dtype = a.dtype
 
     pad = 0
@@ -216,7 +228,7 @@ def prefix_scan_sqrt_ll(els_ll, *, engine="xla", lanes=512, interpret=False):
         tile = min(lanes, max(128, 128 * ((p0 + 127) // 128)))
         pad = (-p0) % min(tile, 128)
     if pad:
-        idp = identity_element_ll(m, c, pad, dtype)
+        idp = identity_element_ll(m, c, pad, dtype, extra)
         els_ll = tuple(
             jnp.concatenate([e, i], axis=-1) for e, i in zip(els_ll, idp)
         )
@@ -227,7 +239,7 @@ def prefix_scan_sqrt_ll(els_ll, *, engine="xla", lanes=512, interpret=False):
     else:
         combine = combine_sqrt_ll
 
-    ident = identity_element_ll(m, c, p, dtype)
+    ident = identity_element_ll(m, c, p, dtype, extra)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, p), 2)
     pre = els_ll
     s = 1

@@ -132,6 +132,74 @@ def test_combine_engine_end_to_end_matches_default():
     )
 
 
+def test_combine_ll_rank_polymorphic_block_axis():
+    # a block axis between the matrix dims and the lanes (blockdiag layout)
+    # must behave exactly like running each block separately
+    key = jax.random.PRNGKey(11)
+    k1, k2 = jax.random.split(key)
+    nb, p, m, c = 3, 5, 4, 1
+    e_i = _random_elements(k1, nb * p, m, c)
+    e_j = _random_elements(k2, nb * p, m, c)
+
+    def to_blocked(els):
+        # (nb*p, m, r) -> (m, r, nb, p)
+        return tuple(
+            jnp.moveaxis(e.reshape(nb, p, m, -1), (2, 3), (0, 1)) for e in els
+        )
+
+    got = pit_fused.combine_sqrt_ll(to_blocked(e_i), to_blocked(e_j))
+    flat = tuple(
+        jnp.moveaxis(g, (0, 1), (2, 3)).reshape(nb * p, m, -1) for g in got
+    )
+    want = jax.vmap(parallel_time._combine_sqrt)(e_i, e_j)
+    _assert_elements_match(flat, want, atol=1e-11)
+
+
+def test_prefix_scan_block_axis_matches_per_block():
+    nb, p, m, c = 2, 7, 3, 1
+    els = _random_elements(jax.random.PRNGKey(13), nb * p, m, c)
+    blocked = tuple(
+        jnp.moveaxis(e.reshape(nb, p, m, -1), (2, 3), (0, 1)) for e in els
+    )  # (m, r, nb, p)
+    got = pit_fused.prefix_scan_sqrt_ll(blocked, engine="xla")
+    for b in range(nb):
+        per_block = tuple(e.reshape(nb, p, m, -1)[b] for e in els)
+        want = jax.lax.associative_scan(
+            lambda x, y: jax.vmap(parallel_time._combine_sqrt)(x, y),
+            per_block,
+        )
+        got_b = tuple(jnp.moveaxis(g[:, :, b, :], -1, 0) for g in got)
+        _assert_elements_match(got_b, want, atol=1e-9)
+
+
+def test_combine_engine_end_to_end_blockdiag():
+    vfp, u0s, tspan, params = problems.rigid_body()
+    vf2 = lambda u, *, t: vfp(u, t=t, p=params)  # noqa: E731
+    nu = 3
+    prior = ivpsolvers.prior_ibm(
+        num_derivatives=nu, ode_shape=(3,), implementation="blockdiag"
+    )
+    strat = ivpsolvers.strategy_filter(prior, ivpsolvers.correction_ts0())
+    solver = ivpsolvers.solver_dynamic(strat)
+    tcoeffs = taylor.odejet_padded_scan(
+        lambda u: vf2(u, t=tspan[0]), u0s, num=nu
+    )
+    init = solver.initial_condition(tcoeffs, 1.0)
+    grid = jnp.linspace(*tspan, num=33)
+    kw = dict(
+        grid=grid, solver=solver, parallel=True, iterations=4, window=8,
+        form="sqrt",
+    )
+    base = ivpsolve.solve_fixed_grid(vf2, init, **kw)
+    got = ivpsolve.solve_fixed_grid(vf2, init, combine_engine="ll", **kw)
+    np.testing.assert_allclose(
+        np.asarray(got.u), np.asarray(base.u), rtol=0, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.u_std), np.asarray(base.u_std), rtol=1e-8, atol=1e-12
+    )
+
+
 def test_combine_engine_validation():
     vf_p, init, grid, solver = _fixed_grid_setup()
     kw = dict(grid=grid, solver=solver)
