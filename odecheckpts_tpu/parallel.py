@@ -113,6 +113,50 @@ def shard_batched_solve(solve_batch, mesh: Mesh, axis: str = "batch"):
     return jax.jit(sharded)
 
 
+def shard_engine_solve(solve_local, mesh: Mesh, axis: str = "batch"):
+    """Lay ANY batched engine ``solve_local(u0s, tols) -> outputs`` over a
+    1-D device mesh, handling batches that do NOT divide the mesh size.
+
+    Uneven batches are padded up to the next mesh multiple by replicating the
+    loosest-tolerance lane (the same admission trick the fused engines use
+    internally for their lane tiles), the shard_map runs on the even batch,
+    and every output leaf is sliced back to the caller's size.  ``u0s`` may
+    be a single array or a tuple (``ode_order=2``); all outputs must carry
+    the batch on their leading axis (true of every ``batched*`` engine).
+    """
+    n = mesh.shape[axis]
+
+    def sharded(u0s, tols):
+        is_tuple = isinstance(u0s, tuple)
+        u_tuple = u0s if is_tuple else (u0s,)
+        b = u_tuple[0].shape[0]
+        pad = (-b) % n
+        if pad:
+            loosest = jnp.argmax(tols)
+
+            def rep(u):
+                row = jax.lax.dynamic_slice_in_dim(u, loosest, 1, axis=0)
+                reps = (pad,) + (1,) * (u.ndim - 1)
+                return jnp.concatenate([u, jnp.tile(row, reps)])
+
+            u_tuple = tuple(rep(u) for u in u_tuple)
+            tols = jnp.concatenate(
+                [tols, jnp.broadcast_to(tols[loosest], (pad,))]
+            )
+        out = jax.shard_map(
+            solve_local,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )(u_tuple if is_tuple else u_tuple[0], tols)
+        if pad:
+            out = jax.tree.map(lambda x: x[:b], out)
+        return out
+
+    return jax.jit(sharded)
+
+
 def shard_fused_solve(vf, params, *, save_at, dt0, mesh: Mesh, axis: str = "batch", **solve_kwargs):
     """The FUSED batched engine (batched.solve_save_at_batched) laid out over
     a 1-D device mesh: each shard runs the lanes-last fused step kernel on its
@@ -120,7 +164,8 @@ def shard_fused_solve(vf, params, *, save_at, dt0, mesh: Mesh, axis: str = "batc
 
     ``solve_kwargs`` forward to the fused solver (engine, tols dtype rules,
     ode_order, lanes, ...).  The HBM admission guard applies per shard.
-    Returns ``sharded(u0s, tols) -> (u_smoothed, u_filtered, num_steps)``.
+    Returns ``sharded(u0s, tols) -> (u_smoothed, u_filtered, num_steps)``;
+    batches that don't divide the mesh are padded per ``shard_engine_solve``.
     """
     from . import batched
 
@@ -129,16 +174,7 @@ def shard_fused_solve(vf, params, *, save_at, dt0, mesh: Mesh, axis: str = "batc
             vf, u, params, save_at=save_at, dt0=dt0, tols=t, **solve_kwargs
         )
 
-    def sharded(u0s, tols):
-        return jax.shard_map(
-            local,
-            mesh=mesh,
-            in_specs=(P(axis), P(axis)),
-            out_specs=P(axis),
-            check_vma=False,
-        )(u0s, tols)
-
-    return jax.jit(sharded)
+    return shard_engine_solve(local, mesh, axis)
 
 
 def replicate(tree, mesh: Mesh):
