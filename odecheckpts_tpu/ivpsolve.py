@@ -569,8 +569,9 @@ def compact_bounded_solution(solution: Solution, valid) -> Solution:
 @_full_precision
 def solve_adaptive_parallel_in_time(
     vf, init, *, t0, t1, dt0, adaptive_solver, max_steps,
-    iterations=8, window=16, form="sqrt", warmstart="rk", damping=0.0,
-    precondition=True,
+    iterations=12, window=16, form="sqrt", warmstart="discovery",
+    damping=0.0, precondition=True, iteration_tol=1e-8,
+    return_diagnostics=False,
 ):
     """ADAPTIVE parallel-in-time solve: grid discovery + parallel re-solve.
 
@@ -586,7 +587,20 @@ def solve_adaptive_parallel_in_time(
     driver (/root/reference/src/odecheckpts/ivpsolvers.py solve-and-save-
     every-step usage).
 
-    Returns the fixed-grid Solution on the discovered grid.  The discovery
+    ``warmstart="discovery"`` (default) seeds every window's linearization
+    from the discovery pass's own filtered means, extrapolated one step
+    (l_k = Phi_k m_{k-1}) -- the states the sequential pass would linearize
+    at, within local error, FOR FREE (the pass already ran).  This is what
+    makes STIFF adaptive grids converge: explicit warm starts (rk) explode
+    on the large slow-manifold steps stiff-adaptive grids accept, and the
+    constant-trajectory start needs ~30 sweeps at fast transitions.  Any
+    ``solve_fixed_grid`` warmstart value passes through unchanged.
+    ``iteration_tol`` (default 1e-8) makes the per-window sweep count
+    adaptive: windows stop sweeping once converged (2-3 sweeps typical with
+    the discovery warm start), up to ``iterations``.
+
+    Returns the fixed-grid Solution on the discovered grid (plus the
+    per-window diagnostics dict when ``return_diagnostics``).  The discovery
     pass uses the FILTER strategy regardless of ``adaptive_solver``'s
     strategy (only accepted times are kept); the re-solve uses the solver
     exactly as given.
@@ -611,15 +625,24 @@ def solve_adaptive_parallel_in_time(
     )
     import numpy as np
 
-    ts = np.asarray(sol_f.t)[np.asarray(valid)]
+    valid_np = np.asarray(valid)
+    ts = np.asarray(sol_f.t)[valid_np]
     t1_f = float(np.asarray(t1))
     if ts[-1] < t1_f:
         ts = np.concatenate([ts, [t1_f]])
     grid = jnp.asarray(ts, sol_f.t.dtype)
+    if isinstance(warmstart, str) and warmstart == "discovery":
+        ssm = solver.ssm
+        means_f = np.asarray(sol_f.posterior.init.mean)[valid_np]
+        m_prev = jnp.asarray(means_f[: len(ts) - 1])
+        warmstart = jax.vmap(
+            lambda m, dt: ssm.extrapolate_mean(m, dt)[0]
+        )(m_prev, jnp.diff(grid))
     return solve_fixed_grid(
         vf, init, grid=grid, solver=solver, parallel=True,
         iterations=iterations, window=window, form=form,
         warmstart=warmstart, damping=damping, precondition=precondition,
+        iteration_tol=iteration_tol, return_diagnostics=return_diagnostics,
     )
 
 
@@ -628,6 +651,7 @@ def solve_fixed_grid(
     vf, init, *, grid, solver, parallel=False, iterations=8, window=16,
     form="cov", warmstart=None, damping=0.0, precondition=True,
     deviation=True, fallback_rtol=1.0, time_shard=None, combine_engine=None,
+    iteration_tol=None, return_diagnostics=False,
 ):
     """Non-adaptive solve on a user grid (any strategy), one ``lax.scan``.
 
@@ -654,17 +678,20 @@ def solve_fixed_grid(
             window=window, form=form, warmstart=warmstart, damping=damping,
             precondition=precondition, deviation=deviation,
             fallback_rtol=fallback_rtol, time_shard=time_shard,
-            combine_engine=combine_engine,
+            combine_engine=combine_engine, iteration_tol=iteration_tol,
+            return_diagnostics=return_diagnostics,
         )
     if form != "cov" or warmstart is not None or damping != 0.0 or (
         time_shard is not None or combine_engine is not None
+        or iteration_tol is not None
     ):
         raise ValueError(
-            "form/warmstart/damping/time_shard/combine_engine configure the "
-            "parallel-in-time sweep and have no effect when parallel=False; "
-            "pass parallel=True or drop them (got "
+            "form/warmstart/damping/time_shard/combine_engine/iteration_tol "
+            "configure the parallel-in-time sweep and have no effect when "
+            "parallel=False; pass parallel=True or drop them (got "
             f"form={form!r}, warmstart={warmstart!r}, damping={damping!r}, "
-            f"time_shard={time_shard!r}, combine_engine={combine_engine!r})."
+            f"time_shard={time_shard!r}, combine_engine={combine_engine!r}, "
+            f"iteration_tol={iteration_tol!r})."
         )
     ssm = solver.ssm
     strategy = solver.strategy

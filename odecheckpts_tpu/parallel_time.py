@@ -47,18 +47,24 @@ by default where they matter):
   on a dt=2e-4 grid is finite at rel 5e-6 in f32 with deviation on, and
   non-finite with it off).
 
-Remaining stiff limitation and its gate (round 3): windows SPANNING a fast
-relaxation transition diverge in the nonlinear re-linearization iteration
-itself -- the affine-map contraction factor exceeds 1 regardless of the
-element representation (identical blow-ups with/without preconditioning at
-the VdP jump).  ``fallback_rtol`` (default 1.0) gates a per-window
-SEQUENTIAL fallback on exactly that failure: if the final sweep's proposed
-re-linearization moved by more than ``fallback_rtol`` relative to the
-trajectory scale (or went non-finite), the window re-runs as the plain
-sequential filter under ``lax.cond`` -- divergence is pathological, so the
-loose default never fires on converging windows (bit-identical results to
-the ungated pass there), while stiff VdP grids that previously went NaN
-now complete with only the jump-spanning windows serialized.
+Stiff grids (round-4 re-diagnosis).  The round-3 "windows spanning a fast
+transition diverge" finding had TWO separable causes, both fixed:
+(a) the explicit RK4 warm start violates its stability limit
+(dt |lambda| <= 2.8) on the large slow-manifold steps of stiff ADAPTIVE
+grids and explodes -- measured on VdP mu=1e3 (adaptive grid, dt up to
+2.6e-2 at |lambda| ~ 2e3): 98.6% of windows NaN with ``warmstart="rk"`` vs
+6.8% with a constant start.  Use ``warmstart="sie[:<s>]"`` (A-stable
+linearized-implicit Euler) or a precomputed trajectory there.
+(b) windows at the fast transitions converge but SLOWLY (~30 sweeps vs
+2-3 elsewhere); a fixed ``iterations=8`` budget under-iterates exactly
+those windows.  ``iteration_tol`` makes the sweep count per-window
+adaptive (measured: 0 diverged windows at iterations<=24 on the mu=1e3
+adaptive grid).  ``fallback_rtol`` (default 1.0) remains as the safety
+net: if the final sweep's proposed re-linearization moved by more than
+``fallback_rtol`` relative to the trajectory scale (or went non-finite),
+the window re-runs as the plain sequential filter under ``lax.cond`` --
+divergence is now pathological, so the loose default never fires on
+converging windows (bit-identical results to the ungated pass there).
 """
 
 from __future__ import annotations
@@ -346,23 +352,30 @@ def _adapters(ssm):
     return materialize, to_cols, from_cols, m_dim, c_dim, n_blocks
 
 
-def _warmstart_rk(vf, ssm, rv0_mean, grid, o, nu, stride=1):
-    """Warm-start linearization for stiff problems: one sequential classical
-    RK4 mean sweep over the grid (vector-field evaluations only -- orders of
-    magnitude cheaper than the Kalman element combines that dominate the
-    parallel pass), then VMAPPED Taylor jets at every grid point rebuild the
-    full (nu+1)-row state stack.  Without it the windowed iteration starts
+def _warmstart_rk(vf, ssm, rv0_mean, grid, o, nu, stride=1, method="rk4"):
+    """Warm-start linearization for stiff problems: one sequential mean sweep
+    over the grid (vector-field evaluations only -- orders of magnitude
+    cheaper than the Kalman element combines that dominate the parallel
+    pass), then VMAPPED Taylor jets at every grid point rebuild the full
+    (nu+1)-row state stack.  Without it the windowed iteration starts
     from a constant trajectory and, on stiff dynamics (VdP mu=1e3), converges
     to a spurious fixed point of the linearize-filter map (ROADMAP round-2b
     finding); started inside the true trajectory's basin it stays there.
 
+    ``method`` picks the step kernel: "rk4" (classical RK4, cheapest) or
+    "sie" (linearized-implicit / Rosenbrock-Euler, one d-by-d linear solve
+    per step).  RK4's stability limit is dt |lambda| <= 2.8, which ADAPTIVE
+    stiff grids violate by orders of magnitude on their slow-manifold steps
+    (VdP mu=1e3 accepts dt ~ 2.6e-2 where |lambda| ~ 2 mu: the round-3
+    "stiff PIT diverges" diagnosis was this warm start exploding, not the
+    window iteration) -- "sie" is A-stable and survives any accepted step.
+
     ``stride`` > 1 cuts the warm start's SEQUENTIAL depth from T to T/stride
     (the wall-clock lever on TPU, where scan steps are latency-bound): the
-    RK4 scan advances one anchor per ``stride`` fine steps (one RK4 step per
-    cell), and every intermediate left endpoint is filled by one VMAPPED RK4
-    offset step from its cell anchor.  Local fill error is
-    O((stride*dt)^5) -- the warm start only needs to land inside the window
-    iteration's contraction basin, not to be accurate."""
+    scan advances one anchor per ``stride`` fine steps (one step per
+    cell), and every intermediate left endpoint is filled by one VMAPPED
+    offset step from its cell anchor.  The warm start only needs to land
+    inside the window iteration's contraction basin, not to be accurate."""
     from . import taylor
 
     y0 = tuple(ssm.select_deriv(rv0_mean, i) for i in range(o))
@@ -371,7 +384,7 @@ def _warmstart_rk(vf, ssm, rv0_mean, grid, o, nu, stride=1):
         fu = vf(*y, t=t)
         return y[1:] + (fu,)
 
-    def rk4_step(y, t_dt):
+    def rk4_one(y, t_dt):
         t_new, dt = t_dt
         t = t_new - dt
 
@@ -382,10 +395,33 @@ def _warmstart_rk(vf, ssm, rv0_mean, grid, o, nu, stride=1):
         k2 = f(add(y, k1, dt / 2), t + dt / 2)
         k3 = f(add(y, k2, dt / 2), t + dt / 2)
         k4 = f(add(y, k3, dt), t + dt)
-        y_new = tuple(
+        return tuple(
             yi + dt / 6 * (a + 2 * b + 2 * c + d)
             for yi, a, b, c, d in zip(y, k1, k2, k3, k4)
         )
+
+    def sie_one(y, t_dt):
+        """Linearized-implicit (Rosenbrock-)Euler:
+        y+ = y + dt (I - dt J(y))^{-1} f(y).  First order, A-stable."""
+        from jax.flatten_util import ravel_pytree
+
+        t_new, dt = t_dt
+        t = t_new - dt
+        flat, unravel = ravel_pytree(y)
+
+        def f_flat(yf):
+            return ravel_pytree(f(unravel(yf), t))[0]
+
+        f0 = f_flat(flat)
+        jac = jax.jacfwd(f_flat)(flat)
+        eye = jnp.eye(flat.shape[0], dtype=flat.dtype)
+        dy = _solve_qr(eye - dt * jac, f0[:, None])[:, 0]
+        return unravel(flat + dt * dy)
+
+    step_one = rk4_one if method == "rk4" else sie_one
+
+    def rk4_step(y, t_dt):
+        y_new = step_one(y, t_dt)
         return y_new, y_new
 
     ts, dts = grid[1:], jnp.diff(grid)
@@ -434,21 +470,31 @@ def _warmstart_rk(vf, ssm, rv0_mean, grid, o, nu, stride=1):
 
 
 def _parse_warmstart(warmstart):
-    """None -> None; "rk" -> stride 1; "rk:<s>" -> stride s (the coarse
-    anchor spacing of ``_warmstart_rk`` -- sequential depth T/s)."""
+    """None -> None; "rk"/"sie" -> (method, 1); "rk:<s>"/"sie:<s>" ->
+    (method, s) (the coarse anchor spacing of ``_warmstart_rk`` --
+    sequential depth T/s); an ARRAY -> ("given", None): a precomputed
+    linearization trajectory of shape (len(grid)-1,) + mean_shape (e.g. the
+    grid-discovery filter pass's extrapolated means in the adaptive
+    driver)."""
     if warmstart is None:
         return None
-    if warmstart == "rk":
-        return 1
-    if isinstance(warmstart, str) and warmstart.startswith("rk:"):
-        try:
-            stride = int(warmstart[3:])
-        except ValueError:
-            stride = 0
-        if stride >= 1:
-            return stride
+    if not isinstance(warmstart, str):
+        if hasattr(warmstart, "shape"):
+            return "given", None
+    else:
+        for prefix, method in (("rk", "rk4"), ("sie", "sie")):
+            if warmstart == prefix:
+                return method, 1
+            if warmstart.startswith(prefix + ":"):
+                try:
+                    stride = int(warmstart[len(prefix) + 1:])
+                except ValueError:
+                    stride = 0
+                if stride >= 1:
+                    return method, stride
     raise ValueError(
-        f"warmstart must be None, 'rk', or 'rk:<stride>', got {warmstart!r}"
+        "warmstart must be None, 'rk[:<stride>]', 'sie[:<stride>]', or a "
+        f"precomputed linearization array; got {warmstart!r}"
     )
 
 
@@ -456,6 +502,7 @@ def solve_fixed_grid_parallel(
     vf, init, *, grid, solver, iterations=8, window=16, form="cov",
     warmstart=None, damping=0.0, precondition=True, deviation=True,
     fallback_rtol=1.0, time_shard=None, combine_engine=None,
+    iteration_tol=None, return_diagnostics=False,
 ):
     """Fixed-grid solve, parallel-in-time within windows.
 
@@ -479,9 +526,25 @@ def solve_fixed_grid_parallel(
     converges to a spurious fixed point.  ``warmstart="rk:<s>"`` strides the
     sweep (anchors every s-th grid point, vmapped RK4 cell fill): sequential
     depth T/s instead of T, the wall-clock lever on TPU; keep s*dt small
-    against the dynamics' Lipschitz time.  ``damping`` in [0, 1): fraction of
-    the previous linearization kept per sweep (0 = undamped), for dynamics
-    where the undamped iteration oscillates.
+    against the dynamics' Lipschitz time.  ``warmstart="sie[:<s>]"`` swaps
+    the step kernel for A-stable linearized-implicit Euler -- REQUIRED on
+    stiff ADAPTIVE grids, whose slow-manifold steps sit orders of magnitude
+    beyond RK4's dt |lambda| <= 2.8 stability limit (explicit warm starts
+    explode there).  ``warmstart=<array>`` of shape (len(grid)-1,) + mean
+    shape supplies a precomputed linearization trajectory directly (the
+    adaptive driver reuses its grid-discovery filter pass this way).
+    ``damping`` in [0, 1): fraction of the previous linearization kept per
+    sweep (0 = undamped), for dynamics where the undamped iteration
+    oscillates.
+
+    ``iteration_tol``: when set, each window iterates ADAPTIVELY -- sweeps
+    stop once the proposed re-linearization moves less than this relative
+    tolerance, up to ``iterations`` total.  Easy windows converge in 2-3
+    sweeps while stiff-transition windows take ~30; the fixed-count
+    alternative (``iteration_tol=None``) either wastes sweeps on the former
+    or trips the ``fallback_rtol`` divergence gate on the latter.  Not
+    reverse-mode differentiable (``lax.while_loop``); keep None in training
+    loops.
 
     ``precondition=True`` (ROADMAP #3): combine each window's elements in
     the dt-preconditioned coordinates x_hat = T(dt_w)^{-1} x, where T is the
@@ -525,7 +588,8 @@ def solve_fixed_grid_parallel(
             window=window, form=form, warmstart=warmstart, damping=damping,
             precondition=precondition, deviation=deviation,
             fallback_rtol=fallback_rtol, time_shard=time_shard,
-            combine_engine=combine_engine,
+            combine_engine=combine_engine, iteration_tol=iteration_tol,
+            return_diagnostics=return_diagnostics,
         )
 
 
@@ -533,7 +597,8 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
                                form="cov", warmstart=None, damping=0.0,
                                precondition=True, deviation=True,
                                fallback_rtol=1.0, time_shard=None,
-                               combine_engine=None):
+                               combine_engine=None, iteration_tol=None,
+                               return_diagnostics=False):
     from .ivpsolve import Solution, _validate_increasing
 
     ssm = solver.ssm
@@ -562,11 +627,22 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
     dts_w = dts_p.reshape(num_w, w)
     valid_w = valid.reshape(num_w, w)
 
-    ws_stride = _parse_warmstart(warmstart)
-    if ws_stride is not None:
-        lin_warm = _warmstart_rk(
-            vf, ssm, rv0.mean, grid, o, ssm.n - 1, stride=ws_stride
-        )
+    ws_parsed = _parse_warmstart(warmstart)
+    if ws_parsed is not None:
+        ws_method, ws_stride = ws_parsed
+        if ws_method == "given":
+            lin_warm = jnp.asarray(warmstart, dtype)
+            if lin_warm.shape != (t1,) + rv0.mean.shape:
+                raise ValueError(
+                    "precomputed warmstart must have shape (len(grid)-1,)"
+                    f" + mean shape = {(t1,) + rv0.mean.shape}, got "
+                    f"{lin_warm.shape}"
+                )
+        else:
+            lin_warm = _warmstart_rk(
+                vf, ssm, rv0.mean, grid, o, ssm.n - 1, stride=ws_stride,
+                method=ws_method,
+            )
         lin_warm_p = jnp.concatenate(
             [lin_warm, jnp.broadcast_to(lin_warm[-1], (pad,) + lin_warm.shape[1:])]
         )
@@ -640,6 +716,27 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         z, jacs = _solvers.linearize(strategy, vf, lin, t)
         sigma, _err = _solvers.error_and_scale(strategy, z, jacs, cache)
         return z, jacs, sigma
+
+    def _iter_delta(lin_ret, lin_fin, ok_k):
+        """Max elementwise relative change of the re-linearization over the
+        window's valid steps.  Only derivative rows 0..o enter the elements
+        (residual + Jacobian); higher rows of the linearization are free to
+        wander without affecting anything, so they are ignored.  Relative
+        (1 + |lin|) scaling: higher-derivative rows converge slower but are
+        large themselves; a diverging window's delta explodes by many
+        decades, so a loose threshold separates cleanly."""
+        if ssm.name == "blockdiag":  # (w, d, n): derivative axis LAST
+            lr, lf = lin_ret[..., : o + 1], lin_fin[..., : o + 1]
+            okb = ok_k[:, None, None]
+        elif lin_ret.ndim == 3:  # isotropic mean layout (w, n, d)
+            lr, lf = lin_ret[:, : o + 1], lin_fin[:, : o + 1]
+            okb = ok_k[:, None, None]
+        else:  # dense column layout (w, n*d), derivative-major
+            ncols = (o + 1) * (m_dim // ssm.n)
+            lr, lf = lin_ret[:, :ncols], lin_fin[:, :ncols]
+            okb = ok_k[:, None]
+        rel = jnp.abs(lr - lf) / (1.0 + jnp.abs(lf))
+        return jnp.max(jnp.where(okb, rel, 0.0))
 
     def _build_element(scale_b, r_prev_b, lin_b, z_b, dt, jacs, pv, pinv):
         """One filtering element: a whole step for the shared-covariance
@@ -881,30 +978,36 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
             # constant initial trajectory at the window-start mean: short
             # windows keep the iteration inside its contraction region
             lin0 = jnp.broadcast_to(from_cols(m0c), (w,) + rv0.mean.shape)
-        lin_fin, _ = jax.lax.scan(sweep, lin0, None, length=max(iterations - 1, 1))
+        if iteration_tol is not None:
+            # per-window ADAPTIVE sweep count: iterate until the proposed
+            # re-linearization moves less than iteration_tol (relative), up
+            # to ``iterations - 1`` sweeps before the final emit.  Easy
+            # windows stop after 2-3 sweeps; windows at stiff transitions
+            # take ~30 -- a fixed count either wastes sweeps on the former
+            # or trips the divergence gate on the latter.
+            def it_cond(c):
+                _lin, delta_c, k = c
+                return (k < iterations - 1) & (delta_c > iteration_tol)
+
+            def it_body(c):
+                lin, _delta_c, k = c
+                lin_next, _ = sweep(lin, None)
+                return lin_next, _iter_delta(lin_next, lin, ok_k), k + 1
+
+            lin_fin, _, _ = jax.lax.while_loop(
+                it_cond, it_body,
+                (lin0, jnp.asarray(jnp.inf, dtype), jnp.zeros((), jnp.int32)),
+            )
+        else:
+            lin_fin, _ = jax.lax.scan(
+                sweep, lin0, None, length=max(iterations - 1, 1)
+            )
         lin_ret, (means, covs, scales) = sweep(lin_fin, None)
+        # at convergence the final sweep's proposed re-linearization equals
+        # its input to iteration tolerance; delta is the divergence gate's
+        # signal AND the per-window convergence diagnostic
+        delta = _iter_delta(lin_ret, lin_fin, ok_k)
         if fallback_rtol is not None:
-            # divergence gate: at convergence the final sweep's proposed
-            # re-linearization equals its input to iteration tolerance.
-            # Elementwise relative (1 + |lin|) scaling: higher-derivative
-            # rows converge slower but are large themselves; a diverging
-            # window's delta explodes by many decades, so the loose default
-            # separates cleanly without firing on slow convergence.
-            # only derivative rows 0..o enter the elements (residual +
-            # Jacobian); higher rows of the linearization are free to wander
-            # without affecting anything, so the gate ignores them
-            if ssm.name == "blockdiag":  # (w, d, n): derivative axis LAST
-                lr, lf = lin_ret[..., : o + 1], lin_fin[..., : o + 1]
-                okb = ok_k[:, None, None]
-            elif lin_ret.ndim == 3:  # isotropic mean layout (w, n, d)
-                lr, lf = lin_ret[:, : o + 1], lin_fin[:, : o + 1]
-                okb = ok_k[:, None, None]
-            else:  # dense column layout (w, n*d), derivative-major
-                ncols = (o + 1) * (m_dim // ssm.n)
-                lr, lf = lin_ret[:, :ncols], lin_fin[:, :ncols]
-                okb = ok_k[:, None]
-            rel = jnp.abs(lr - lf) / (1.0 + jnp.abs(lf))
-            delta = jnp.max(jnp.where(okb, rel, 0.0))
             diverged = ~jnp.isfinite(delta) | (delta > fallback_rtol)
             (m_end_d, p_end_d), outs = jax.lax.cond(
                 diverged,
@@ -915,11 +1018,12 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
                 ),
                 None,
             )
-            return (m_end_d, p_end_d), outs
+            return (m_end_d, p_end_d), outs + (delta, diverged)
         # identity padding makes the last prefix equal the last VALID state
         m_end = to_cols(means[-1])
         p_end = covs[-1]
-        return (m_end, p_end), (means, covs, scales)
+        return (m_end, p_end), (means, covs, scales, delta,
+                                jnp.zeros((), bool))
 
     # isotropic cholesky is (n, n) shared across d columns; dense is
     # (nd, nd); blockdiag carries one (n, n) factor per dimension (d, n, n)
@@ -931,7 +1035,7 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         if lin_warm_w is None
         else (ts_w, dts_w, valid_w, lin_warm_w)
     )
-    _, (means_w, covs_w, scales_w) = jax.lax.scan(
+    _, (means_w, covs_w, scales_w, delta_w, div_w) = jax.lax.scan(
         window_step, (to_cols(rv0.mean), p0_init), scan_inputs
     )
     means = means_w.reshape((num_w * w,) + rv0.mean.shape)[:t1]
@@ -973,7 +1077,7 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
     else:
         conds = None
 
-    return Solution(
+    sol = Solution(
         t=grid,
         u=ssm.qoi(rvs.mean),
         u_std=ssm.qoi_std(rvs),
@@ -983,3 +1087,10 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         num_steps=jnp.arange(len(grid), dtype=jnp.int32),
         ssm=ssm,
     )
+    if return_diagnostics:
+        # per-window iteration health: final-sweep re-linearization delta
+        # and whether the sequential fallback fired (always False when the
+        # gate is off)
+        return sol, {"window_delta": delta_w, "window_diverged": div_w,
+                     "window_size": w, "num_windows": num_w}
+    return sol

@@ -490,6 +490,120 @@ def test_stiffness_gated_sequential_fallback():
     np.testing.assert_array_equal(np.asarray(a.u), np.asarray(b.u))
 
 
+def test_iteration_tol_matches_fixed_sweeps_and_reports_diagnostics():
+    """``iteration_tol`` makes the per-window sweep count adaptive (a
+    ``lax.while_loop`` up to ``iterations``): on a converging problem it
+    must land in the fixed-count result's band, and the diagnostics dict
+    must report per-window deltas below the tolerance with no window
+    diverged."""
+    vf_p, init, grid, solver = _fixed_grid_setup("dynamic")
+    seq = ivpsolve.solve_fixed_grid(vf_p, init, grid=grid, solver=solver)
+    kw = dict(grid=grid, solver=solver, parallel=True, iterations=20,
+              form="sqrt")
+    sol, diag = ivpsolve.solve_fixed_grid(
+        vf_p, init, iteration_tol=1e-10, return_diagnostics=True, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol.u), np.asarray(seq.u), rtol=0, atol=1e-9
+    )
+    delta = np.asarray(diag["window_delta"])
+    assert delta.shape == (diag["num_windows"],)
+    assert np.all(delta <= 1e-10)
+    assert not np.any(np.asarray(diag["window_diverged"]))
+    # ... and it is a parallel-sweep knob: rejected on the sequential path
+    with pytest.raises(ValueError, match="iteration_tol"):
+        ivpsolve.solve_fixed_grid(
+            vf_p, init, grid=grid, solver=solver, iteration_tol=1e-8
+        )
+
+
+def test_sie_warmstart_survives_steps_where_rk4_explodes():
+    """``warmstart="sie"`` (linearized-implicit Euler) is A-stable;
+    classical RK4's stability region ends at dt |lambda| ~ 2.8.  On the
+    large slow-manifold steps a stiff ADAPTIVE grid accepts (VdP mu=1e3:
+    dt ~ 1e-2 at |lambda| ~ 2 mu, i.e. dt |lambda| ~ 20), the RK4 warm
+    start must explode and the SIE one stay finite -- the round-4 stiff
+    parallel-in-time diagnosis in a unit."""
+    from odecheckpts_tpu import parallel_time
+
+    mu = 1000.0
+    vf, (u0, du0), _ts = problems.van_der_pol(mu=mu)
+    nu = 4
+    prior = ivpsolvers.prior_ibm(
+        num_derivatives=nu, ode_shape=(1,), implementation="dense"
+    )
+    strat = ivpsolvers.strategy_filter(
+        prior, ivpsolvers.correction_ts1(ode_order=2)
+    )
+    solver = ivpsolvers.solver_dynamic(strat)
+    tco = taylor.odejet_padded_scan(
+        lambda *y: vf(*y, t=0.0), (u0, du0), num=nu - 1
+    )
+    init = solver.initial_condition(tco, 1.0)
+    rv0, _scale = init
+    # slow-manifold segment: u ~ 2 is strongly attracted; dt far beyond
+    # RK4's stability limit but routine for the adaptive controller
+    grid = jnp.asarray(np.linspace(0.5, 0.82, 17))
+    lin_rk = parallel_time._warmstart_rk(
+        vf, solver.ssm, rv0.mean, grid, 2, nu, method="rk4"
+    )
+    lin_sie = parallel_time._warmstart_rk(
+        vf, solver.ssm, rv0.mean, grid, 2, nu, method="sie"
+    )
+    assert not bool(jnp.all(jnp.isfinite(lin_rk))) or (
+        float(jnp.max(jnp.abs(lin_rk))) > 1e6
+    )
+    assert bool(jnp.all(jnp.isfinite(lin_sie)))
+    # the SIE sweep tracks the solution scale (|u| <= ~2 on the manifold);
+    # dense means are flat (n*d,), derivative-major: column 0 is u.  Entry 0
+    # is the jet prediction from the (deliberately off-manifold) start point
+    # and legitimately overshoots; every LATER left endpoint comes from an
+    # SIE step that has relaxed onto the manifold.
+    u_sie = lin_sie[1:, 0]
+    assert float(jnp.max(jnp.abs(u_sie))) < 3.0
+
+
+@pytest.mark.slow
+def test_stiff_adaptive_pit_converges_without_fallback():
+    """VERDICT round-3 #1: stiff parallel-in-time, actually parallel.
+
+    VdP mu=1e3 (the reference's flagship stiff workload,
+    /root/reference/experiments/1_van_der_pol/vdp.py:88-103) on its own
+    adaptive grid: ``solve_adaptive_parallel_in_time`` with the discovery
+    warm start + adaptive sweep counts must converge in EVERY window --
+    zero sequential-fallback windows -- and match the sequential fixed-grid
+    solve on the same grid."""
+    mu = 1000.0
+    vf, (u0, du0), _ts = problems.van_der_pol(mu=mu)
+    nu = 4
+    prior = ivpsolvers.prior_ibm(
+        num_derivatives=nu, ode_shape=(1,), implementation="dense"
+    )
+    strat = ivpsolvers.strategy_filter(
+        prior, ivpsolvers.correction_ts1(ode_order=2)
+    )
+    solver = ivpsolvers.solver_dynamic(strat)
+    tco = taylor.odejet_padded_scan(
+        lambda *y: vf(*y, t=0.0), (u0, du0), num=nu - 1
+    )
+    init = solver.initial_condition(tco, 1.0)
+    asolver = ivpsolve.adaptive(solver, atol=1e-8, rtol=1e-5)
+    sol, diag = ivpsolve.solve_adaptive_parallel_in_time(
+        vf, init, t0=0.0, t1=6.3, dt0=0.01, adaptive_solver=asolver,
+        max_steps=2**14, iterations=24, window=16,
+        return_diagnostics=True,
+    )
+    div = np.asarray(diag["window_diverged"])
+    assert int(div.sum()) == 0, f"{int(div.sum())}/{len(div)} windows fell back"
+    u = np.asarray(sol.u)
+    assert np.all(np.isfinite(u))
+    sol_seq = ivpsolve.solve_fixed_grid(vf, init, grid=sol.t, solver=solver)
+    rel = np.max(np.abs(u - np.asarray(sol_seq.u))) / np.max(
+        np.abs(np.asarray(sol_seq.u))
+    )
+    assert rel < 1e-3, rel
+
+
 def test_time_sharded_windows_match_unsharded():
     """time_shard=(mesh, axis): the window combines sharded along the STEP
     axis over an 8-device mesh equal the unsharded pass — sharding is a
