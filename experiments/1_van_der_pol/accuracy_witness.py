@@ -1,0 +1,118 @@
+"""Accuracy witness for exp-1's step-count headline (VERDICT round-3 #3).
+
+Exp-1 (vdp.py, port of /root/reference/experiments/1_van_der_pol/vdp.py)
+accepts ~560 adaptive steps at tol 1e-3 where the reference records 2,911
+(BASELINE.md).  Five-fold fewer steps at the same tolerance needs an
+accuracy witness AT THAT TOLERANCE: this script re-runs the exp-1 adaptive
+solve and measures its error against scipy LSODA(1e-12) on the accepted
+grid, for the shipped default calibration (kappa=20, the TS1-qoi default in
+ivpsolvers.ERROR_CALIBRATION_TS1_QOI) and for kappa=1 (the raw uncalibrated
+estimate, the closest analogue of how the reference stack counts error).
+
+Stiff VdP error anatomy: through each relaxation jump, PHASE error is
+amplified superlinearly (the round-3 calibration study measured terminal
+error ~ kappa^-1.8), so the honest summary statistics are split:
+* err_terminal — |u(t1) - LSODA| at the endpoint (the BASELINE comparison
+  point; the reference matches LSODA to ~1e-8 at rtol 1e-8 there);
+* err_max_grid / err_p95_grid — max / 95th-percentile |u - LSODA| over the
+  accepted grid (the transition-amplified view).
+
+Writes data_accuracy_witness.json next to this script.
+Usage: python accuracy_witness.py [--tol 1e-3]
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+
+import jax
+
+jax.config.update("jax_platforms", os.environ.get("ODECKPT_PLATFORM", "cpu"))
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+
+from odecheckpts_tpu import ivpsolve, ivpsolvers, problems, taylor  # noqa: E402
+
+
+def solve_adaptive(tol, kappa):
+    vf, (u0, du0), (t0, t1) = problems.van_der_pol(mu=10.0**3)
+    num = 4
+    prior = ivpsolvers.prior_ibm(
+        num_derivatives=num, ode_shape=(1,), implementation="dense"
+    )
+    ts1 = ivpsolvers.correction_ts1(ode_order=2, error_calibration=kappa)
+    strategy = ivpsolvers.strategy_filter(prior, ts1)
+    solver = ivpsolvers.solver_dynamic(strategy)
+    tcoeffs = taylor.odejet_padded_scan(
+        lambda *y: vf(*y, t=t0), (u0, du0), num=num - 1
+    )
+    init = solver.initial_condition(tcoeffs, 1.0)
+    ctrl = ivpsolve.control_proportional_integral()
+    asolver = ivpsolve.adaptive(solver, atol=tol, rtol=tol, control=ctrl)
+    sol = ivpsolve.solve_adaptive_save_every_step(
+        vf, init, t0=t0, t1=t1, dt0=0.01, adaptive_solver=asolver
+    )
+    return np.asarray(sol.t), np.asarray(sol.u)[:, 0], (t0, t1)
+
+
+def lsoda_truth(ts):
+    """LSODA(1e-12) on the first-order reduction, evaluated on ``ts``."""
+    import scipy.integrate
+
+    mu = 1e3
+    vf, (u0, du0), (t0, t1) = problems.van_der_pol(mu=mu)
+
+    def vf_np(_t, y):
+        u, du = y
+        return [du, float(mu) * ((1.0 - u**2) * du - u)]
+
+    out = scipy.integrate.solve_ivp(
+        vf_np, y0=[float(u0), float(du0)], t_span=(float(ts[0]), float(ts[-1])),
+        t_eval=ts, rtol=1e-12, atol=1e-12, method="LSODA",
+    )
+    assert out.success, out.message
+    return out.y[0]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tol", type=float, default=1e-3)
+    args = ap.parse_args(argv)
+
+    from odecheckpts_tpu.ivpsolvers import ERROR_CALIBRATION_TS1_QOI
+
+    rows = []
+    for label, kappa in [
+        ("default (shipped)", None),   # -> ERROR_CALIBRATION_TS1_QOI = 20
+        ("kappa=1 (raw estimate)", 1.0),
+    ]:
+        ts, u, _span = solve_adaptive(args.tol, kappa)
+        truth = lsoda_truth(ts)
+        err = np.abs(u - truth)
+        row = {
+            "config": label,
+            "kappa": ERROR_CALIBRATION_TS1_QOI if kappa is None else kappa,
+            "tol": args.tol,
+            "num_steps": int(len(ts) - 1),
+            "err_terminal": float(err[-1]),
+            "err_max_grid": float(err.max()),
+            "err_p95_grid": float(np.quantile(err, 0.95)),
+            "err_median_grid": float(np.median(err)),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    out = {"reference_steps_at_tol": 2911, "rows": rows}
+    path = pathlib.Path(__file__).parent / "data_accuracy_witness.json"
+    path.write_text(json.dumps(out, indent=2))
+    print(f"wrote {path}")
+    return out
+
+
+if __name__ == "__main__":
+    main()

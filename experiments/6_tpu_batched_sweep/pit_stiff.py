@@ -1,0 +1,265 @@
+"""STIFF parallel-in-time wall-clock on TPU (VERDICT round-3 #1).
+
+Workload: the reference's flagship stiff problem — Van der Pol mu=1e3,
+TS1(4, ode_order=2), dense backend, solved on ITS OWN adaptive grid
+(/root/reference/experiments/1_van_der_pol/vdp.py:73-103: discover the
+accepted grid adaptively, then re-solve on that fixed grid).  Round 3 left
+this leg correct-but-serial: windows at the fast relaxation transitions
+tripped the per-window sequential fallback.  Round 4 removed the two actual
+blockers (the explicit RK4 warm start exploding on slow-manifold steps, and
+fixed sweep counts under-iterating transition windows — see
+parallel_time.py's module docstring), so the stiff re-solve now converges
+in EVERY window and the wall-clock question can be asked.
+
+What is timed (both stages of ``solve_adaptive_parallel_in_time``'s
+contract, on one TPU chip, float32, deviation+preconditioned sqrt
+elements):
+
+* ``sequential``: the plain `solve_fixed_grid` re-solve on the discovered
+  grid — the baseline BOTH workflows pay today.
+* ``parallel``: the PIT re-solve with the DISCOVERY warm start (the
+  grid-discovery filter pass's extrapolated means, free in the adaptive
+  workflow — the adaptive driver reuses them the same way) across
+  window / iteration_tol settings, plus grid-only warm starts
+  (``sie:<s>``) for the fixed-grid-given-no-discovery scenario.
+
+The discovery pass itself runs once in a CPU float64 subprocess (the
+controller's step selection at rtol<=1e-5 is below f32 resolution; on real
+deployments it runs as the bounded on-device filter exactly like
+`solve_adaptive_parallel_in_time` does) and is NOT part of the timed
+comparison: it is common to both arms.
+
+Each parallel row records the per-window divergence diagnostics — the
+committed claim is wall-clock AND zero sequential-fallback windows.
+
+Usage: python pit_stiff.py [--reps 5] [--rtol 1e-6]
+Writes data_pit_stiff.json next to this script.
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
+
+GRID_CACHE = "/tmp/pit_stiff_grid_{rtol:.0e}.npy"
+
+
+def discover_grid(rtol):
+    """CPU x64 subprocess: VdP mu=1e3 adaptive filter pass -> accepted grid
+    + the discovery warm start (extrapolated filtered means)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from odecheckpts_tpu import ivpsolve, ivpsolvers, problems, taylor
+
+    vf, (u0, du0), _ts = problems.van_der_pol(mu=1000.0)
+    nu = 4
+    prior = ivpsolvers.prior_ibm(
+        num_derivatives=nu, ode_shape=(1,), implementation="dense"
+    )
+    strat = ivpsolvers.strategy_filter(
+        prior, ivpsolvers.correction_ts1(ode_order=2)
+    )
+    solver = ivpsolvers.solver_dynamic(strat)
+    tco = taylor.odejet_padded_scan(
+        lambda *y: vf(*y, t=0.0), (u0, du0), num=nu - 1
+    )
+    init = solver.initial_condition(tco, 1.0)
+    asolver = ivpsolve.adaptive(solver, atol=1e-3 * rtol, rtol=rtol)
+    sol_f, (valid, _tail) = ivpsolve.solve_adaptive_save_every_step_bounded(
+        vf, init, t0=0.0, t1=6.3, dt0=0.01, adaptive_solver=asolver,
+        max_steps=2**14,
+    )
+    valid_np = np.asarray(valid)
+    ts = np.asarray(sol_f.t)[valid_np]
+    if ts[-1] < 6.3:
+        ts = np.concatenate([ts, [6.3]])
+    grid = jnp.asarray(ts)
+    ssm = solver.ssm
+    means_f = np.asarray(sol_f.posterior.init.mean)[valid_np]
+    m_prev = jnp.asarray(means_f[: len(ts) - 1])
+    warm = jax.vmap(lambda m, dt: ssm.extrapolate_mean(m, dt)[0])(
+        m_prev, jnp.diff(grid)
+    )
+    np.save(
+        GRID_CACHE.format(rtol=rtol),
+        {"grid": np.asarray(grid), "warm": np.asarray(warm)},
+        allow_pickle=True,
+    )
+    print(f"discovered grid: {len(ts)} points, dt in "
+          f"[{np.min(np.diff(ts)):.2e}, {np.max(np.diff(ts)):.2e}]")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--rtol", type=float, default=1e-6)
+    ap.add_argument("--discover", action="store_true")
+    ap.add_argument("--windows", type=int, nargs="*", default=None,
+                    help="restrict the parallel configs to these windows")
+    args = ap.parse_args(argv)
+
+    if args.discover:
+        discover_grid(args.rtol)
+        return None
+
+    cache = pathlib.Path(GRID_CACHE.format(rtol=args.rtol))
+    if not cache.exists():
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        subprocess.run(
+            [sys.executable, __file__, "--discover", "--rtol", str(args.rtol)],
+            check=True, env=env,
+        )
+
+    import jax
+
+    if os.environ.get("ODECKPT_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["ODECKPT_PLATFORM"])
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from odecheckpts_tpu import (  # noqa: E402
+        harness, ivpsolve, ivpsolvers, problems, taylor,
+    )
+
+    blob = np.load(cache, allow_pickle=True).item()
+    grid64, warm64 = blob["grid"], blob["warm"]
+    # f32 time grid: drop steps narrower than the f32 quantum at t~6.3
+    # (rtol 1e-6 grids bottom out at dt ~ 1e-5, ~20x above it)
+    grid32 = np.asarray(grid64, np.float32)
+    keep = np.concatenate([[True], np.diff(grid32) > 0])
+    grid = jnp.asarray(grid32[keep])
+    warm = jnp.asarray(np.asarray(warm64, np.float32)[keep[1:]])
+    print(f"grid: {len(grid64)} pts (f64) -> {int(keep.sum())} pts (f32)")
+
+    vf, (u0, du0), _ts = problems.van_der_pol(mu=1000.0)
+    nu = 4
+    prior = ivpsolvers.prior_ibm(
+        num_derivatives=nu, ode_shape=(1,), implementation="dense"
+    )
+    strat = ivpsolvers.strategy_filter(
+        prior, ivpsolvers.correction_ts1(ode_order=2)
+    )
+    solver = ivpsolvers.solver_dynamic(strat)
+    u32, du32 = jnp.float32(u0), jnp.float32(du0)
+    tco = taylor.odejet_padded_scan(
+        lambda *y: vf(*y, t=jnp.float32(0.0)), (u32, du32), num=nu - 1
+    )
+    init = solver.initial_condition(tco, jnp.float32(1.0))
+
+    def _time(fn, *fargs):
+        out = fn(*fargs)
+        harness.device_sync(out)
+        times = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            out = fn(*fargs)
+            harness.device_sync(out)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times)), out
+
+    results = []
+    seq = jax.jit(
+        lambda g, i: ivpsolve.solve_fixed_grid(vf, i, grid=g, solver=solver)
+    )
+    t_seq, sol_seq = _time(seq, grid, init)
+    u_seq = np.asarray(sol_seq.u)
+    print(f"sequential: {t_seq * 1e3:9.2f} ms", flush=True)
+    results.append({"mode": "sequential", "time_s": t_seq})
+
+    for window, iters, itol, warmkind, engine in [
+        (16, 24, 1e-5, "discovery", None),
+        (64, 24, 1e-5, "discovery", None),
+        (256, 24, 1e-5, "discovery", None),
+        (256, 24, 1e-5, "discovery", "ll"),
+        (512, 24, 1e-5, "discovery", None),
+        (512, 24, 1e-5, "discovery", "ll"),
+        (512, 8, 1e-5, "discovery", None),
+        (512, 24, 1e-5, "sie:16", None),
+        (1024, 24, 1e-5, "discovery", None),
+    ]:
+        if window >= len(np.asarray(grid)):
+            continue
+        if args.windows is not None and window not in args.windows:
+            continue
+
+        def par(g, i, wm, _w=window, _k=iters, _t=itol, _wk=warmkind,
+                _e=engine):
+            return ivpsolve.solve_fixed_grid(
+                vf, i, grid=g, solver=solver, parallel=True,
+                window=_w, iterations=_k, iteration_tol=_t,
+                warmstart=(wm if _wk == "discovery" else _wk),
+                form="sqrt", combine_engine=_e,
+            )
+
+        label = (f"w={window:5d} k<={iters} itol={itol:g} warm={warmkind} "
+                 f"combine={engine or 'scan'}")
+        try:
+            t_par, sol_par = _time(jax.jit(par), grid, init, warm)
+        except Exception as e:
+            print(f"parallel {label}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:120]}", flush=True)
+            results.append({
+                "mode": "parallel", "window": window, "iterations": iters,
+                "iteration_tol": itol, "warmstart": warmkind,
+                "combine_engine": engine,
+                "error": f"{type(e).__name__}: {str(e)[:300]}",
+            })
+            continue
+        rel = float(
+            np.max(np.abs(np.asarray(sol_par.u) - u_seq))
+            / max(np.max(np.abs(u_seq)), 1e-30)
+        )
+        # untimed diagnostics pass: the committed claim includes zero
+        # sequential-fallback windows
+        _sol_d, diag = jax.jit(
+            lambda g, i, wm, _w=window, _k=iters, _t=itol, _wk=warmkind,
+            _e=engine: ivpsolve.solve_fixed_grid(
+                vf, i, grid=g, solver=solver, parallel=True,
+                window=_w, iterations=_k, iteration_tol=_t,
+                warmstart=(wm if _wk == "discovery" else _wk),
+                form="sqrt", combine_engine=_e, return_diagnostics=True,
+            )
+        )(grid, init, warm)
+        n_div = int(np.asarray(diag["window_diverged"]).sum())
+        n_win = int(diag["num_windows"])
+        ratio = t_seq / t_par
+        print(
+            f"parallel {label}: {t_par * 1e3:9.2f} ms  "
+            f"seq/par={ratio:5.2f}x  rel={rel:.2e}  "
+            f"fallback={n_div}/{n_win}", flush=True,
+        )
+        results.append({
+            "mode": "parallel", "window": window, "iterations": iters,
+            "iteration_tol": itol, "warmstart": warmkind,
+            "combine_engine": engine, "time_s": t_par,
+            "speedup_vs_seq": ratio, "rel_vs_seq": rel,
+            "fallback_windows": n_div, "num_windows": n_win,
+        })
+
+    out = {
+        "problem": "van_der_pol mu=1e3, TS1(4, ode_order=2), dense, "
+                   "adaptive grid rtol=%g" % args.rtol,
+        "grid_points": int(len(np.asarray(grid))),
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+        "results": results,
+    }
+    path = pathlib.Path(__file__).parent / "data_pit_stiff.json"
+    path.write_text(json.dumps(out, indent=2))
+    print(f"wrote {path}")
+    return out
+
+
+if __name__ == "__main__":
+    main()
