@@ -72,7 +72,8 @@ def lsoda_truth(ts):
         return [du, float(mu) * ((1.0 - u**2) * du - u)]
 
     out = scipy.integrate.solve_ivp(
-        vf_np, y0=[float(u0), float(du0)], t_span=(float(ts[0]), float(ts[-1])),
+        vf_np, y0=[float(u0[0]), float(du0[0])],
+        t_span=(float(ts[0]), float(ts[-1])),
         t_eval=ts, rtol=1e-12, atol=1e-12, method="LSODA",
     )
     assert out.success, out.message
@@ -86,18 +87,25 @@ def main(argv=None):
 
     from odecheckpts_tpu.ivpsolvers import ERROR_CALIBRATION_TS1_QOI
 
+    # The single-point witness (tol 1e-3, shipped kappa and the raw
+    # estimate) plus a tolerance sweep at the shipped kappa: if the 560-step
+    # solve were UNDER-resolving (controller mistuned at loose tolerance on
+    # stiff problems), the terminal error would saturate instead of tracking
+    # ~tol as the tolerance tightens.
     rows = []
-    for label, kappa in [
-        ("default (shipped)", None),   # -> ERROR_CALIBRATION_TS1_QOI = 20
-        ("kappa=1 (raw estimate)", 1.0),
+    for label, kappa, tol in [
+        ("default (shipped)", None, args.tol),  # -> TS1-qoi kappa = 20
+        ("kappa=1 (raw estimate)", 1.0, args.tol),
+        ("default (shipped)", None, args.tol * 1e-1),
+        ("default (shipped)", None, args.tol * 1e-2),
     ]:
-        ts, u, _span = solve_adaptive(args.tol, kappa)
+        ts, u, _span = solve_adaptive(tol, kappa)
         truth = lsoda_truth(ts)
         err = np.abs(u - truth)
         row = {
             "config": label,
             "kappa": ERROR_CALIBRATION_TS1_QOI if kappa is None else kappa,
-            "tol": args.tol,
+            "tol": tol,
             "num_steps": int(len(ts) - 1),
             "err_terminal": float(err[-1]),
             "err_max_grid": float(err.max()),
