@@ -119,11 +119,11 @@ def _kappa_map(env, default_map):
 
 
 KAPPA_F32 = _kappa_map(
-    "ODECKPT_BENCH_KAPPA32", {1e-1: 10.0, 1e-2: 10.0, 1e-3: 10.0, 1e-4: 10.0}
+    "ODECKPT_BENCH_KAPPA32", {1e-1: 1.0, 1e-2: 1.0, 1e-3: 3.0, 1e-4: 10.0}
 )
 KAPPA_F64 = _kappa_map(
     "ODECKPT_BENCH_KAPPA64",
-    {1e-5: 10.0, 1e-6: 10.0, 1e-7: 10.0, 1e-8: 10.0, 1e-9: 10.0},
+    {1e-5: 5.0, 1e-6: 3.0, 1e-7: 2.0, 1e-8: 2.0, 1e-9: 2.0},
 )
 # round 3 (error calibration landed): reference tracks ~0.2x rtol, we gate at
 # 3x aggregate and 6x on the worst sampled lane

@@ -40,6 +40,10 @@ def main(argv=None):
     )
     ap.add_argument("--select", action="store_true",
                     help="print the per-decade winners after measuring")
+    ap.add_argument("--tuned", action="store_true",
+                    help="measure at the TUNED-order schedule (NU_*_TUNED) "
+                         "over only the decades whose tuned order differs "
+                         "from the parity nu=4; feeds KAPPA_*_TUNED")
     args = ap.parse_args(argv)
 
     import jax
@@ -48,21 +52,33 @@ def main(argv=None):
     bench._wait_for_device()
     print(f"# device: {jax.devices()[0]}", file=sys.stderr, flush=True)
 
+    if args.tuned:
+        rtols32 = [r for r in bench.SWEEP_F32
+                   if bench.NU_F32_TUNED.get(r, 4) != bench.NU_F32.get(r, 4)]
+        rtols64 = [r for r in bench.SWEEP_F64
+                   if bench.NU_F64_TUNED.get(r, 4) != bench.NU_F64.get(r, 4)]
+        nu32, nu64 = bench.NU_F32_TUNED, bench.NU_F64_TUNED
+    else:
+        rtols32, rtols64 = bench.SWEEP_F32, bench.SWEEP_F64
+        nu32, nu64 = None, None
+
     rows = []
     for kappa in args.kappas:
-        print(f"# --- kappa={kappa} (f32 band) ---", file=sys.stderr,
-              flush=True)
-        rows += bench._sweep(
-            jnp.float32, bench.SWEEP_F32, args.batch32, "pallas-loop",
-            sample=args.sample, gate=False,
-            kappa_map={r: kappa for r in bench.SWEEP_F32},
-        )
-        print(f"# --- kappa={kappa} (df32 band) ---", file=sys.stderr,
-              flush=True)
-        rows += bench._sweep_hi(
-            bench.SWEEP_F64, args.batch64, sample=args.sample, gate=False,
-            kappa_map={r: kappa for r in bench.SWEEP_F64},
-        )
+        if rtols32:
+            print(f"# --- kappa={kappa} (f32 band) ---", file=sys.stderr,
+                  flush=True)
+            rows += bench._sweep(
+                jnp.float32, rtols32, args.batch32, "pallas-loop",
+                sample=args.sample, gate=False, nu_map=nu32,
+                kappa_map={r: kappa for r in rtols32},
+            )
+        if rtols64:
+            print(f"# --- kappa={kappa} (df32 band) ---", file=sys.stderr,
+                  flush=True)
+            rows += bench._sweep_hi(
+                rtols64, args.batch64, sample=args.sample, gate=False,
+                nu_map=nu64, kappa_map={r: kappa for r in rtols64},
+            )
 
     out = {
         "device": str(jax.devices()[0]),
@@ -71,7 +87,8 @@ def main(argv=None):
         "sample": args.sample,
         "rows": rows,
     }
-    path = pathlib.Path(__file__).parent / "data_kappa_sweep.json"
+    name = "data_kappa_sweep_tuned.json" if args.tuned else "data_kappa_sweep.json"
+    path = pathlib.Path(__file__).parent / name
     path.write_text(json.dumps(out, indent=2))
     print(f"wrote {path}")
 
