@@ -571,7 +571,7 @@ def solve_adaptive_parallel_in_time(
     vf, init, *, t0, t1, dt0, adaptive_solver, max_steps,
     iterations=12, window=16, form="sqrt", warmstart="discovery",
     damping=0.0, precondition=True, iteration_tol=1e-8,
-    return_diagnostics=False,
+    combine_engine=None, return_diagnostics=False,
 ):
     """ADAPTIVE parallel-in-time solve: grid discovery + parallel re-solve.
 
@@ -642,7 +642,8 @@ def solve_adaptive_parallel_in_time(
         vf, init, grid=grid, solver=solver, parallel=True,
         iterations=iterations, window=window, form=form,
         warmstart=warmstart, damping=damping, precondition=precondition,
-        iteration_tol=iteration_tol, return_diagnostics=return_diagnostics,
+        iteration_tol=iteration_tol, combine_engine=combine_engine,
+        return_diagnostics=return_diagnostics,
     )
 
 

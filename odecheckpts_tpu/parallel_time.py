@@ -812,6 +812,70 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         marginal_from_prefix if form == "cov" else _marginal_from_prefix_sqrt
     )
 
+    # the fused build (element construction + prefix + marginal all
+    # lanes-last, pit_fused) covers the shared-covariance sqrt layouts;
+    # blockdiag and the cov form keep the per-step build (with the fused
+    # prefix where combine_engine asks for it), and time_shard stays on the
+    # step-leading layout its sharding constraint expects.
+    use_fused_build = (
+        form == "sqrt"
+        and n_blocks == 0
+        and combine_engine is not None
+        and time_shard is None
+    )
+
+    def _build_all(lin, r_prev, dts_k, ok_k, z_k, jacs_k, sig_k,
+                   sigma_floor, pv, pinv):
+        """Per-step element build (vmapped _element_sqrt/_element)."""
+        return jax.vmap(
+            element_one, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None)
+        )(lin, r_prev, dts_k, ok_k, z_k, jacs_k, sig_k, sigma_floor,
+          pv, pinv)
+
+    def _prefix_and_marginal(els, m0c_h, p0_h):
+        """Prefix-combine + window marginals on step-leading elements."""
+        els = _constrain(els)
+        if combine_engine is not None:
+            # lanes-last fused prefix (pit_fused): one full-width combine
+            # per Kogge-Stone level instead of associative_scan's tree of
+            # tiny batched (m, m) kernels.  Matrix dims lead; blockdiag's
+            # per-dimension block axis sits between them and the lanes.
+            from . import pit_fused
+
+            def _to_ll(x):
+                x = jnp.moveaxis(x, 0, -1)  # steps -> lanes
+                return jnp.moveaxis(x, 0, -2) if n_blocks else x
+
+            def _from_ll(x):
+                x = jnp.moveaxis(x, -2, 0) if n_blocks else x
+                return jnp.moveaxis(x, -1, 0)
+
+            pre_ll = pit_fused.prefix_scan_sqrt_ll(
+                jax.tree.map(_to_ll, els),
+                engine=(
+                    "pallas"
+                    if combine_engine.startswith("pallas")
+                    else "xla"
+                ),
+                interpret=combine_engine == "pallas-interpret",
+            )
+            prefix = jax.tree.map(_from_ll, pre_ll)
+        else:
+            combine_k = jax.vmap(combine) if n_blocks else combine
+            prefix = jax.lax.associative_scan(
+                lambda e_i, e_j: jax.vmap(combine_k)(e_i, e_j), els
+            )
+        prefix = _constrain(prefix)
+        m0_for_marg = (
+            jnp.zeros_like(m0c_h) if deviation else m0c_h
+        )  # dx_0 = x_0 - r_0 = 0 (r_0 is the window-start mean)
+        marginal_k = (
+            (lambda pk: jax.vmap(marginal)(pk, m0_for_marg, p0_h))
+            if n_blocks
+            else (lambda pk: marginal(pk, m0_for_marg, p0_h))
+        )
+        return jax.vmap(marginal_k)(prefix)
+
     def window_step(carry, inputs):
         m0c, p0 = carry  # p0: covariance ("cov") or its factor ("sqrt")
         ts_k, dts_k, ok_k = inputs[:3]
@@ -858,28 +922,53 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
                 )
             else:
                 sigma_floor = jnp.zeros((), dtype)
-            els, scales = jax.vmap(
-                element_one, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None)
-            )(lin, r_prev, dts_k, ok_k, z_k, jacs_k, sig_k, sigma_floor,
-              pv, pinv)
-            els = _constrain(els)
-            if combine_engine is not None:
-                # lanes-last fused prefix (pit_fused): one full-width combine
-                # per Kogge-Stone level instead of associative_scan's tree of
-                # tiny batched (m, m) kernels.  Matrix dims lead; blockdiag's
-                # per-dimension block axis sits between them and the lanes.
+            if use_fused_build:
+                # round 4: the whole per-sweep algebra — element build,
+                # prefix, window marginal — runs lanes-last (pit_fused),
+                # with the step axis in the 128-lane dimension.  Only the
+                # vf/Jacobian work (lin_one above) stays per-step.
                 from . import pit_fused
 
-                def _to_ll(x):
-                    x = jnp.moveaxis(x, 0, -1)  # steps -> lanes
-                    return jnp.moveaxis(x, 0, -2) if n_blocks else x
-
-                def _from_ll(x):
-                    x = jnp.moveaxis(x, -2, 0) if n_blocks else x
-                    return jnp.moveaxis(x, -1, 0)
-
+                if solver.calibration == _solvers.DYNAMIC:
+                    scale_k = jnp.maximum(
+                        sig_k, jnp.maximum(sigma_floor, tiny)
+                    )
+                else:
+                    scale_k = jnp.broadcast_to(scale_none, ok_k.shape)
+                phi_w, qc_w, h_w = jax.vmap(
+                    lambda dt, s, j: materialize(dt, s, j, o)
+                )(dts_k, scale_k, jacs_k)
+                ll = lambda x: jnp.moveaxis(x, 0, -1)  # noqa: E731
+                phi_l, qc_l, h_l = ll(phi_w), ll(qc_w), ll(h_w)
+                lin_l = ll(r_cols)
+                z_l = ll(jax.vmap(_z_cols)(z_k))
+                rprev_l = ll(r_prev)
+                if deviation:
+                    drift_l = pit_fused._mat(phi_l, rprev_l) - lin_l
+                    v_l = -z_l
+                else:
+                    drift_l = None
+                    v_l = pit_fused._mat(h_l, lin_l) - z_l
+                if precondition:
+                    phi_l = pinv[:, None, None] * phi_l * pv[None, :, None]
+                    qc_l = pinv[:, None, None] * qc_l
+                    h_l = h_l * pv[None, :, None]
+                    if drift_l is not None:
+                        drift_l = pinv[:, None, None] * drift_l
+                els_ll = pit_fused.element_sqrt_ll(
+                    phi_l, qc_l, h_l, v_l, drift_l
+                )
+                ident_ll = list(
+                    pit_fused.identity_element_ll(m_dim, c_dim, 1, dtype)
+                )
+                if deviation:
+                    ident_ll[1] = pinv[:, None, None] * (rprev_l - lin_l)
+                okl = ok_k[None, None, :]
+                els_ll = tuple(
+                    jnp.where(okl, e, i) for e, i in zip(els_ll, ident_ll)
+                )
                 pre_ll = pit_fused.prefix_scan_sqrt_ll(
-                    jax.tree.map(_to_ll, els),
+                    els_ll,
                     engine=(
                         "pallas"
                         if combine_engine.startswith("pallas")
@@ -887,23 +976,19 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
                     ),
                     interpret=combine_engine == "pallas-interpret",
                 )
-                prefix = jax.tree.map(_from_ll, pre_ll)
-            else:
-                combine_k = jax.vmap(combine) if n_blocks else combine
-                prefix = jax.lax.associative_scan(
-                    lambda e_i, e_j: jax.vmap(combine_k)(e_i, e_j), els
+                m0_for_marg = (
+                    jnp.zeros_like(m0c_h) if deviation else m0c_h
                 )
-            prefix = _constrain(prefix)
-            m0_for_marg = (
-                jnp.zeros_like(m0c_h) if deviation else m0c_h
-            )  # dx_0 = x_0 - r_0 = 0 (r_0 is the window-start mean)
-            marginal_k = (
-                (lambda pk: jax.vmap(marginal)(pk, m0_for_marg, p0_h))
-                if n_blocks
-                else (lambda pk: marginal(pk, m0_for_marg, p0_h))
-            )
-            means_ch, covs_h = jax.vmap(marginal_k)(prefix)
-            # back to physical coordinates
+                mch_l, cvh_l = pit_fused.marginal_sqrt_ll(
+                    pre_ll, m0_for_marg, p0_h
+                )
+                means_ch = jnp.moveaxis(mch_l, -1, 0)
+                covs_h = jnp.moveaxis(cvh_l, -1, 0)
+                scales = jnp.where(ok_k, scale_k, scale_none)
+            else:
+                els, scales = _build_all(lin, r_prev, dts_k, ok_k, z_k,
+                                         jacs_k, sig_k, sigma_floor, pv, pinv)
+                means_ch, covs_h = _prefix_and_marginal(els, m0c_h, p0_h)
             means_c = pv[None, :, None] * means_ch
             if deviation:
                 means_c = means_c + r_cols

@@ -271,3 +271,86 @@ def prefix_scan_sqrt(els, *, engine="xla", lanes=512, interpret=False):
         els_ll, engine=engine, lanes=lanes, interpret=interpret
     )
     return tuple(jnp.moveaxis(e, -1, 0) for e in pre)
+
+
+# ---------------------------------------------------------------------------
+# fused ELEMENT BUILD + MARGINAL (round 4): the per-sweep work around the
+# prefix — constructing each step's sqrt element from (Phi, Qc, H, v) and
+# pushing the window-start state through the prefixes — carries the same
+# tiny-(m, m)-kernel fragmentation the combine had.  Both are pure
+# small-matrix algebra, so they reuse the lanes-last primitives verbatim.
+# Semantics mirror parallel_time._element_sqrt / _marginal_from_prefix_sqrt
+# exactly up to orthogonal right-factors of (U, Z) and f32 rounding.
+
+
+def _eye_ll(m, dtype, like):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, m) + (1,) * (like.ndim - 2), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (m, m) + (1,) * (like.ndim - 2), 1)
+    return (rows == cols).astype(dtype)
+
+
+def element_sqrt_ll(phi, qc, h, v, drift=None):
+    """Lanes-last sqrt filtering elements: one call builds ALL steps.
+
+    Shapes (B = step/lane axis): ``phi``/``qc`` (m, m, B), ``h`` (r, m, B),
+    ``v`` (r, c, B), ``drift`` (m, c, B) or None.  Returns the
+    (A, b, U, eta, Z) tuple of parallel_time._element_sqrt with trailing B.
+    """
+    m = phi.shape[0]
+    r = h.shape[0]
+    g = _mat(h, qc)  # (r, m, B): S = g g^T
+    # R_s: upper (r, r, B) of the (m, r, B) stack g^T
+    gT = _swap(g)
+    r_s = jnp.stack(
+        _qr_r_cols([gT[:, c] for c in range(r)], m, r), axis=1
+    )[:r]
+    k_gain = _mat(qc, _swap(_psolve_ll(r_s, g)))  # (m, r, B)
+    i_kh = _eye_ll(m, phi.dtype, phi) - _mat(k_gain, h)
+    a = _mat(i_kh, phi)
+    if drift is None:
+        b = _mat(k_gain, v)
+        v_eff = v
+    else:
+        b = _mat(i_kh, drift) + _mat(k_gain, v)
+        v_eff = v - _mat(h, drift)
+    u = _mat(i_kh, qc)
+    z_r = _rsolve_upper_ll(_mat(_swap(phi), _swap(h)), r_s)  # (m, r, B)
+    if r < m:
+        z = jnp.concatenate(
+            [z_r, jnp.zeros((m, m - r) + z_r.shape[2:], phi.dtype)], axis=1
+        )
+    else:
+        z = z_r
+    eta = _mat(_swap(phi), _mat(_swap(h), _psolve_ll(r_s, v_eff)))
+    return (a, b, u, eta, z)
+
+
+def marginal_sqrt_ll(prefix, m0c, w0):
+    """Lanes-last window marginals: N(m0, W0 W0^T) through every prefix.
+
+    ``prefix``: lanes-last element tuple ((m, m, B), (m, c, B), ...);
+    ``m0c`` (m, c) and ``w0`` (m, m) are the window-start state (shared
+    across lanes).  Returns (means (m, c, B), lower factors (m, m, B))."""
+    a, b, u, eta, z = prefix
+    m = a.shape[0]
+    dt = a.dtype
+    m0l = m0c[..., None]
+    w0l = w0[..., None]
+    ones_b = jnp.ones_like(a[0, 0])[None]  # (1, B)
+    rows_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (m,) + (1,) * (a.ndim - 2), 0
+    )
+    eye_rows = [(rows_iota == c).astype(dt) * ones_b for c in range(m)]
+
+    m0w = _mat(_swap(w0l), z)  # (m, m, B): W0^T Z_k
+    # R0^T R0 = I + (W0^T Z)(W0^T Z)^T via the [m0w^T; I] stack
+    r0 = _qr_stacked([m0w[c] for c in range(m)], eye_rows, m)
+    innov = eta - _mat(z, _mat(_swap(z), m0l))  # (m, c, B)
+    m0_upd = m0l + _mat(w0l, _psolve_ll(r0, _mat(_swap(w0l), innov)))
+    v0 = _rsolve_upper_ll(w0l * ones_b[None], r0)  # (m, m, B)
+    mean = _mat(a, m0_upd) + b
+    av = _mat(a, v0)
+    chol = _swap(
+        _qr_stacked([av[c] for c in range(m)], [u[c] for c in range(m)], m)
+    )
+    return mean, chol
