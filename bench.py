@@ -87,10 +87,10 @@ NU_F64 = _nu_map("ODECKPT_BENCH_NU64", {r: 4 for r in SWEEP_F64})
 # tolerance over nu=4.  Reported as tuned_* fields; disable the extra pass
 # with ODECKPT_BENCH_TUNED=0.
 NU_F32_TUNED = _nu_map(
-    "ODECKPT_BENCH_NU32_TUNED", {1e-1: 2, 1e-2: 2, 1e-3: 3, 1e-4: 3}
+    "ODECKPT_BENCH_NU32_TUNED", {1e-1: 2, 1e-2: 2, 1e-3: 3, 1e-4: 4}
 )
 NU_F64_TUNED = _nu_map(
-    "ODECKPT_BENCH_NU64_TUNED", {1e-5: 4, 1e-6: 5, 1e-7: 5, 1e-8: 5, 1e-9: 5}
+    "ODECKPT_BENCH_NU64_TUNED", {1e-5: 4, 1e-6: 4, 1e-7: 4, 1e-8: 5, 1e-9: 5}
 )
 
 
@@ -124,6 +124,19 @@ KAPPA_F32 = _kappa_map(
 KAPPA_F64 = _kappa_map(
     "ODECKPT_BENCH_KAPPA64",
     {1e-5: 5.0, 1e-6: 3.0, 1e-7: 2.0, 1e-8: 2.0, 1e-9: 2.0},
+)
+# kappa re-measured at the tuned orders (kappa_sweep.py --tuned,
+# data_kappa_sweep_tuned.json): lower orders need more calibration margin
+# (nu=2 takes kappa=10 where nu=4 passes at 1), and with a FAIR per-order
+# kappa the old tuned orders lose their edge at the mid decades — nu=4 is
+# the measured argmax at 1e-4..1e-7, so the tuned schedule now differs from
+# parity only at the loose (nu=2/3) and 1e-8/1e-9 (nu=5) decades.
+KAPPA_F32_TUNED = _kappa_map(
+    "ODECKPT_BENCH_KAPPA32_TUNED", {1e-1: 10.0, 1e-2: 10.0, 1e-3: 20.0, 1e-4: 10.0}
+)
+KAPPA_F64_TUNED = _kappa_map(
+    "ODECKPT_BENCH_KAPPA64_TUNED",
+    {1e-5: 5.0, 1e-6: 3.0, 1e-7: 2.0, 1e-8: 5.0, 1e-9: 5.0},
 )
 # round 3 (error calibration landed): reference tracks ~0.2x rtol, we gate at
 # 3x aggregate and 6x on the worst sampled lane
@@ -522,20 +535,28 @@ def main():
     if os.environ.get("ODECKPT_BENCH_TUNED", "1") != "0":
         try:
             by_rtol = {r["rtol"]: r for r in rows}
-            f32_redo = [r for r in SWEEP_F32
-                        if NU_F32_TUNED.get(r, 4) != NU_F32.get(r, 4)
-                        and r in by_rtol]
-            hi_redo = [r for r in SWEEP_F64
-                       if NU_F64_TUNED.get(r, 4) != NU_F64.get(r, 4)
-                       and r in by_rtol]
+            f32_redo = [
+                r for r in SWEEP_F32
+                if (NU_F32_TUNED.get(r, 4) != NU_F32.get(r, 4)
+                    or KAPPA_F32_TUNED.get(r) != KAPPA_F32.get(r))
+                and r in by_rtol
+            ]
+            hi_redo = [
+                r for r in SWEEP_F64
+                if (NU_F64_TUNED.get(r, 4) != NU_F64.get(r, 4)
+                    or KAPPA_F64_TUNED.get(r) != KAPPA_F64.get(r))
+                and r in by_rtol
+            ]
             redone = {}
             if f32_redo and f32_engine is not None:
                 for row in _sweep(jnp.float32, f32_redo, batch32, f32_engine,
-                                  sample=sample, nu_map=NU_F32_TUNED):
+                                  sample=sample, nu_map=NU_F32_TUNED,
+                                  kappa_map=KAPPA_F32_TUNED):
                     redone[row["rtol"]] = row
             if hi_redo and hi_engine is not None:
                 for row in _sweep_hi(hi_redo, batch32, sample=sample,
-                                     engine=hi_engine, nu_map=NU_F64_TUNED):
+                                     engine=hi_engine, nu_map=NU_F64_TUNED,
+                                     kappa_map=KAPPA_F64_TUNED):
                     redone[row["rtol"]] = row
             tuned_rows = [redone.get(r["rtol"], r) for r in rows]
         except Exception as e:
