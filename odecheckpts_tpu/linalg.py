@@ -81,12 +81,21 @@ def qr_r(x):
     """
     m, n = x.shape[-2], x.shape[-1]
     k = min(m, n)
+    # Magnitude normalization (scale-invariant: R(c x) = c R(x)): stiff f32
+    # factors legitimately reach ~1e22 (preconditioner powers dt^-(nu+1/2)
+    # at dt ~ 1e-5 on VdP mu=1e3 adaptive grids), and the Householder
+    # column norm SQUARES entries -- overflow to inf -> NaN through the
+    # whole downstream solve.  This is the generic-path analogue of the
+    # fused engines' per-lane QR normalization (batched.make_step_ll,
+    # round 2c); f64 never binds (max ~1e308) but the rescale is harmless.
+    c = jnp.max(jnp.abs(x), axis=(-2, -1), keepdims=True)
+    c = jax.lax.stop_gradient(jnp.where(c > 0, c, 1.0))
     if min(m - 1, n) <= _UNROLL_MAX_COLS:
-        r = _qr_r_householder(x)
+        r = _qr_r_householder(x / c)
     else:
-        r = jnp.linalg.qr(x, mode="r")
+        r = jnp.linalg.qr(x / c, mode="r")
     d = _sign_safe(jnp.diagonal(r, axis1=-2, axis2=-1))
-    return r[..., :k, :] * d[..., :, None]
+    return r[..., :k, :] * (c * d[..., :, None])
 
 
 def chol_from_stack(*stacked):

@@ -738,7 +738,8 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         rel = jnp.abs(lr - lf) / (1.0 + jnp.abs(lf))
         return jnp.max(jnp.where(okb, rel, 0.0))
 
-    def _build_element(scale_b, r_prev_b, lin_b, z_b, dt, jacs, pv, pinv):
+    def _build_element(scale_b, r_prev_b, lin_b, z_b, dt, jacs, pv, pinv,
+                       pv_prev):
         """One filtering element: a whole step for the shared-covariance
         layouts, ONE dimension block for blockdiag (vmapped by the caller).
         ``lin_b``/``z_b`` arrive in column layout, ``scale_b`` is the
@@ -757,8 +758,9 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
             drift = None
             v = h @ lin_b - z_b  # exact observation H x_k = v
         if precondition:
-            # x_hat = T^-1 x: H-hat x-hat = H x = v unchanged
-            phi = pinv[:, None] * phi * pv[None, :]
+            # x_hat_k = T_k^-1 x_k: H-hat x-hat = H x = v unchanged; the
+            # incoming state is in the PREVIOUS interface's coordinates
+            phi = pinv[:, None] * phi * pv_prev[None, :]
             qc = pinv[:, None] * qc
             h = h * pv[None, :]
             if drift is not None:
@@ -777,7 +779,7 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         return el, ident_k
 
     def element_one(lin, r_prev_c, dt, ok, z, jacs, sigma, sigma_floor,
-                    pv, pinv):
+                    pv, pinv, pv_prev):
         if solver.calibration == _solvers.DYNAMIC:
             scale = jnp.maximum(sigma, jnp.maximum(sigma_floor, tiny))
         else:
@@ -787,11 +789,12 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
             # blockdiag: scale/carry/reference/residual all carry a leading
             # block axis; jacs is empty (TS0-only backend), dt/pv/pinv shared
             el, ident_k = jax.vmap(
-                _build_element, in_axes=(0, 0, 0, 0, None, None, None, None)
-            )(scale, r_prev_c, lin_c, z_c, dt, jacs, pv, pinv)
+                _build_element,
+                in_axes=(0, 0, 0, 0, None, None, None, None, None),
+            )(scale, r_prev_c, lin_c, z_c, dt, jacs, pv, pinv, pv_prev)
         else:
             el, ident_k = _build_element(
-                scale, r_prev_c, lin_c, z_c, dt, jacs, pv, pinv
+                scale, r_prev_c, lin_c, z_c, dt, jacs, pv, pinv, pv_prev
             )
         el = jax.tree.map(lambda x, i: jnp.where(ok, x, i), el, ident_k)
         return el, jnp.where(ok, scale, scale_none)
@@ -825,12 +828,12 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
     )
 
     def _build_all(lin, r_prev, dts_k, ok_k, z_k, jacs_k, sig_k,
-                   sigma_floor, pv, pinv):
+                   sigma_floor, pv_k, pinv_k, pv_prev):
         """Per-step element build (vmapped _element_sqrt/_element)."""
         return jax.vmap(
-            element_one, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None)
+            element_one, in_axes=(0, 0, 0, 0, 0, 0, 0, None, 0, 0, 0)
         )(lin, r_prev, dts_k, ok_k, z_k, jacs_k, sig_k, sigma_floor,
-          pv, pinv)
+          pv_k, pinv_k, pv_prev)
 
     def _prefix_and_marginal(els, m0c_h, p0_h):
         """Prefix-combine + window marginals on step-leading elements."""
@@ -881,21 +884,35 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         ts_k, dts_k, ok_k = inputs[:3]
 
         if precondition:
-            # representative dt: log-mean over the window's valid steps
-            n_ok = jnp.maximum(jnp.sum(ok_k), 1)
-            dt_ref = jnp.exp(
-                jnp.sum(jnp.where(ok_k, jnp.log(dts_k), 0.0)) / n_ok
-            )
-            p_nu, pinv_nu = prior.preconditioner(dt_ref, ssm.num_derivatives)
-            pv, pinv = _expand_p(p_nu), _expand_p(pinv_nu)
+            # PER-STEP preconditioning (round 4): element k lives in its own
+            # T(dt_k) coordinates -- A_hat_k = T_k^{-1} Phi_k T_{k-1} -- so
+            # adjacent elements agree on the interface coordinate and the
+            # combine algebra is exact, while the entries scale with the
+            # per-step dt RATIO (controller-bounded) instead of the window's
+            # absolute dt^(2(nu-o)+1) anisotropy.  A single window-mean
+            # dt_ref (round 3) is the uniform-grid special case; on stiff
+            # ADAPTIVE grids the within-window dt spread reaches ~13x, whose
+            # dt^5 anisotropy overflows f32 Grams (measured: VdP mu=1e3
+            # rtol 1e-6 grid, w=64, 29/37 windows NaN with dt_ref; 0 with
+            # per-step).  The window-start interface uses the FIRST step's
+            # coordinates (T_0 := T_1), never physical ones: bridging
+            # physical -> T(1e-5) in one hop is the same overflow.
+            p_nu, pinv_nu = jax.vmap(
+                lambda dt: prior.preconditioner(dt, ssm.num_derivatives)
+            )(dts_k)
+            pv_k = jax.vmap(_expand_p)(p_nu)  # (w, m_dim)
+            pinv_k = jax.vmap(_expand_p)(pinv_nu)
+            pv_prev = jnp.concatenate([pv_k[:1], pv_k[:-1]])
         else:
-            pv = pinv = jnp.ones((m_dim,), dtype)
-        # carry into hat coordinates for this window
-        m0c_h = pinv[:, None] * m0c
+            pv_k = pinv_k = pv_prev = jnp.ones(
+                (dts_k.shape[0], m_dim), dtype
+            )
+        # carry into the window-start hat coordinates
+        m0c_h = pinv_k[0][:, None] * m0c
         p0_h = (
-            pinv[:, None] * p0 * pinv[None, :]
+            pinv_k[0][:, None] * p0 * pinv_k[0][None, :]
             if form == "cov"
-            else pinv[:, None] * p0
+            else pinv_k[0][:, None] * p0
         )
 
         def sweep(lin, _):
@@ -949,12 +966,13 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
                 else:
                     drift_l = None
                     v_l = pit_fused._mat(h_l, lin_l) - z_l
+                pinv_l, pv_l, pvp_l = pinv_k.T, pv_k.T, pv_prev.T  # (m, w)
                 if precondition:
-                    phi_l = pinv[:, None, None] * phi_l * pv[None, :, None]
-                    qc_l = pinv[:, None, None] * qc_l
-                    h_l = h_l * pv[None, :, None]
+                    phi_l = pinv_l[:, None] * phi_l * pvp_l[None]
+                    qc_l = pinv_l[:, None] * qc_l
+                    h_l = h_l * pv_l[None]
                     if drift_l is not None:
-                        drift_l = pinv[:, None, None] * drift_l
+                        drift_l = pinv_l[:, None] * drift_l
                 els_ll = pit_fused.element_sqrt_ll(
                     phi_l, qc_l, h_l, v_l, drift_l
                 )
@@ -962,7 +980,7 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
                     pit_fused.identity_element_ll(m_dim, c_dim, 1, dtype)
                 )
                 if deviation:
-                    ident_ll[1] = pinv[:, None, None] * (rprev_l - lin_l)
+                    ident_ll[1] = pinv_l[:, None] * (rprev_l - lin_l)
                 okl = ok_k[None, None, :]
                 els_ll = tuple(
                     jnp.where(okl, e, i) for e, i in zip(els_ll, ident_ll)
@@ -987,15 +1005,21 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
                 scales = jnp.where(ok_k, scale_k, scale_none)
             else:
                 els, scales = _build_all(lin, r_prev, dts_k, ok_k, z_k,
-                                         jacs_k, sig_k, sigma_floor, pv, pinv)
+                                         jacs_k, sig_k, sigma_floor,
+                                         pv_k, pinv_k, pv_prev)
                 means_ch, covs_h = _prefix_and_marginal(els, m0c_h, p0_h)
-            means_c = pv[None, :, None] * means_ch
+            # back to physical coordinates, per step (blockdiag keeps the
+            # block axis between step and derivative dims: broadcast on it)
+            pv_s = (
+                pv_k[:, None, :, None] if n_blocks else pv_k[:, :, None]
+            )
+            means_c = pv_s * means_ch
             if deviation:
                 means_c = means_c + r_cols
             covs = (
-                pv[None, :, None] * covs_h * pv[None, None, :]
+                pv_s * covs_h * jnp.swapaxes(pv_s, -1, -2)
                 if form == "cov"
-                else pv[None, :, None] * covs_h
+                else pv_s * covs_h
             )
             means = jax.vmap(from_cols)(means_c)
             # next linearization: l_k = Phi_k m_{k-1}, m_0 = window start
@@ -1093,7 +1117,17 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         # signal AND the per-window convergence diagnostic
         delta = _iter_delta(lin_ret, lin_fin, ok_k)
         if fallback_rtol is not None:
-            diverged = ~jnp.isfinite(delta) | (delta > fallback_rtol)
+            # a barely-sub-threshold window can converge in its observed
+            # (<= ode_order) rows while its covariance factors are already
+            # non-finite -- delta alone would pass it and the NaN poisons
+            # every later window through the carry; gate on output
+            # finiteness too (round 4, observed on stiff f32 grids)
+            outs_ok = jnp.all(jnp.isfinite(means)) & jnp.all(
+                jnp.isfinite(covs)
+            )
+            diverged = (
+                ~jnp.isfinite(delta) | (delta > fallback_rtol) | ~outs_ok
+            )
             (m_end_d, p_end_d), outs = jax.lax.cond(
                 diverged,
                 run_sequential,

@@ -82,3 +82,27 @@ def test_qr_r_grad_defined():
     x = jax.random.normal(jax.random.PRNGKey(6), (8, 4))
     g = jax.grad(lambda m: jnp.sum(linalg.qr_r(m) ** 2))(x)
     assert jnp.all(jnp.isfinite(g))
+
+
+def test_qr_r_magnitude_normalized_f32():
+    """Stiff f32 factors legitimately reach ~1e22 (preconditioner powers at
+    dt ~ 1e-5); the Householder column norm SQUARES entries, so without the
+    scale-invariant normalization the QR overflows to inf/NaN (round 4:
+    this is what NaN'd the generic-path VdP mu=1e3 f32 solve that the fused
+    engines' per-lane normalization already survived)."""
+    x64 = jax.config.read("jax_enable_x64")
+    jax.config.update("jax_enable_x64", False)
+    try:
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(10, 5)) * 1e22, jnp.float32
+        )
+        r = linalg.qr_r(x)
+        assert r.dtype == jnp.float32
+        assert bool(jnp.all(jnp.isfinite(r)))
+        # scale-invariance: R(x) == 1e22 * R(x / 1e22)
+        r_small = linalg.qr_r(x / 1e22)
+        np.testing.assert_allclose(
+            np.asarray(r) / 1e22, np.asarray(r_small), rtol=1e-5, atol=1e-5
+        )
+    finally:
+        jax.config.update("jax_enable_x64", x64)

@@ -726,3 +726,49 @@ def test_fixed_grid_blockdiag_sequential_mle():
     sol = ivpsolve.solve_fixed_grid(vf_p, init, grid=grid, solver=solver)
     assert np.all(np.isfinite(np.asarray(sol.u)))
     assert sol.output_scale.shape[-1] == 3
+
+
+def test_per_step_preconditioning_nonuniform_window():
+    """Round 4: per-step preconditioning (element k in its own T(dt_k)
+    coordinates, interfaces chained through T(dt_{k-1})).
+
+    On a geometric grid whose dt spans 64x INSIDE one window, the round-3
+    window-mean dt_ref left a dt^(2(nu-o)+1) anisotropy of ~9 decades inside
+    the combine Grams; per-step coordinates reduce the exposure to the
+    per-step dt RATIO.  Exactness check: the parallel pass must match the
+    sequential solve on the same nonuniform grid, one wide window covering
+    the whole spread."""
+    vf0, (u0,), _ts, p = problems.logistic()
+
+    def vf(u, *, t):
+        return vf0(u, t=t, p=p)
+
+    nu = 3
+    prior = ivpsolvers.prior_ibm(
+        num_derivatives=nu, ode_shape=(1,), implementation="isotropic"
+    )
+    strat = ivpsolvers.strategy_filter(
+        prior, ivpsolvers.correction_ts0(ode_order=1)
+    )
+    solver = ivpsolvers.solver_dynamic(strat)
+    tco = taylor.odejet_padded_scan(lambda y: vf(y, t=0.0), (u0,), num=nu)
+    init = solver.initial_condition(tco, 1.0)
+    # 64 steps, dt growing geometrically by 2^(1/10): spread 64x per window
+    dts = 1e-4 * 2.0 ** (np.arange(64) / 10.0)
+    grid = jnp.asarray(np.concatenate([[0.0], np.cumsum(dts)]))
+    sol_seq = ivpsolve.solve_fixed_grid(vf, init, grid=grid, solver=solver)
+    for ce in (None, "ll"):
+        sol_par, diag = ivpsolve.solve_fixed_grid(
+            vf, init, grid=grid, solver=solver, parallel=True,
+            iterations=8, window=64, form="sqrt", combine_engine=ce,
+            return_diagnostics=True,
+        )
+        assert int(np.asarray(diag["window_diverged"]).sum()) == 0
+        np.testing.assert_allclose(
+            np.asarray(sol_par.u), np.asarray(sol_seq.u),
+            rtol=1e-8, atol=1e-10,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sol_par.u_std), np.asarray(sol_seq.u_std),
+            rtol=1e-6, atol=1e-12,
+        )
