@@ -358,7 +358,7 @@ def test_adaptive_parallel_in_time_matches_sequential_resolve():
 # -- element representations: preconditioning + deviation form ----------------
 
 
-def test_precondition_and_deviation_are_exact_reparameterizations():
+def _reparam_oracle(combos):
     """precondition/deviation transform the elements, not the math: each
     combination must reproduce the sequential fixed-grid result identically
     to the default configuration's tolerance."""
@@ -375,21 +375,40 @@ def test_precondition_and_deviation_are_exact_reparameterizations():
     # side of convergence a window lands on)
     grid = jnp.linspace(*tspan, 161)
     sol_seq = ivpsolve.solve_fixed_grid(vf_p, init, grid=grid, solver=solver)
-    for form in ("sqrt", "cov"):
-        for pc in (False, True):
-            for dev in (False, True):
-                sol_par = ivpsolve.solve_fixed_grid(
-                    vf_p, init, grid=grid, solver=solver, parallel=True,
-                    iterations=8, window=16, form=form,
-                    precondition=pc, deviation=dev,
-                )
-                # bound: the iteration-convergence level of the default
-                # configuration on this grid (~9e-4), NOT representation
-                # error -- all eight variants must land there together
-                np.testing.assert_allclose(
-                    np.asarray(sol_par.u), np.asarray(sol_seq.u),
-                    rtol=2e-3, atol=2e-3,
-                ), (form, pc, dev)
+    for form, pc, dev in combos:
+        sol_par = ivpsolve.solve_fixed_grid(
+            vf_p, init, grid=grid, solver=solver, parallel=True,
+            iterations=8, window=16, form=form,
+            precondition=pc, deviation=dev,
+        )
+        # bound: the iteration-convergence level of the default
+        # configuration on this grid (~9e-4), NOT representation
+        # error -- all variants must land there together
+        np.testing.assert_allclose(
+            np.asarray(sol_par.u), np.asarray(sol_seq.u),
+            rtol=2e-3, atol=2e-3,
+        ), (form, pc, dev)
+
+
+def test_precondition_and_deviation_are_exact_reparameterizations():
+    """Fast oracle: the shipped default (sqrt, preconditioned, deviation)
+    and the plain baseline (cov, neither).  Each (form, pc, dev) combo is a
+    separately compiled eager program (~100 s each on this box), so the full
+    eight-way cross-product lives in the slow variant below."""
+    _reparam_oracle([("sqrt", True, True), ("cov", False, False)])
+
+
+@pytest.mark.slow
+def test_precondition_and_deviation_reparameterizations_full():
+    _reparam_oracle(
+        [
+            (form, pc, dev)
+            for form in ("sqrt", "cov")
+            for pc in (False, True)
+            for dev in (False, True)
+            if (form, pc, dev) not in (("sqrt", True, True), ("cov", False, False))
+        ]
+    )
 
 
 @pytest.mark.slow
@@ -496,7 +515,7 @@ def test_iteration_tol_matches_fixed_sweeps_and_reports_diagnostics():
     must land in the fixed-count result's band, and the diagnostics dict
     must report per-window deltas below the tolerance with no window
     diverged."""
-    vf_p, init, grid, solver = _fixed_grid_setup("dynamic")
+    vf_p, init, grid, solver = _fixed_grid_setup("dynamic", num=65)
     seq = ivpsolve.solve_fixed_grid(vf_p, init, grid=grid, solver=solver)
     kw = dict(grid=grid, solver=solver, parallel=True, iterations=20,
               form="sqrt")
@@ -604,18 +623,21 @@ def test_stiff_adaptive_pit_converges_without_fallback():
     assert rel < 1e-3, rel
 
 
+@pytest.mark.slow
 def test_time_sharded_windows_match_unsharded():
     """time_shard=(mesh, axis): the window combines sharded along the STEP
     axis over an 8-device mesh equal the unsharded pass — sharding is a
     layout constraint, and it is the multi-chip axis a single IVP can scale
-    on (the sequential filter's scan cannot shard time)."""
+    on (the sequential filter's scan cannot shard time).  Slow: the 8-device
+    compile costs ~2 min on this box, and __graft_entry__.dryrun_multichip
+    compiles+executes the same time-sharded path on every driver round."""
     from jax.sharding import Mesh
 
-    vf_p, init, grid, solver = _fixed_grid_setup("dynamic", num=65)
+    vf_p, init, grid, solver = _fixed_grid_setup("dynamic", num=33)
     mesh = Mesh(np.array(jax.devices()[:8]), ("t",))
 
     kwargs = dict(grid=grid, solver=solver, parallel=True,
-                  iterations=6, window=32)
+                  iterations=6, window=16)
     sol_ref = jax.jit(
         lambda: ivpsolve.solve_fixed_grid(vf_p, init, **kwargs)
     )()
@@ -728,7 +750,7 @@ def test_fixed_grid_blockdiag_sequential_mle():
     assert sol.output_scale.shape[-1] == 3
 
 
-def test_per_step_preconditioning_nonuniform_window():
+def _per_step_nonuniform_oracle(combine_engines):
     """Round 4: per-step preconditioning (element k in its own T(dt_k)
     coordinates, interfaces chained through T(dt_{k-1})).
 
@@ -753,14 +775,14 @@ def test_per_step_preconditioning_nonuniform_window():
     solver = ivpsolvers.solver_dynamic(strat)
     tco = taylor.odejet_padded_scan(lambda y: vf(y, t=0.0), (u0,), num=nu)
     init = solver.initial_condition(tco, 1.0)
-    # 64 steps, dt growing geometrically by 2^(1/10): spread 64x per window
-    dts = 1e-4 * 2.0 ** (np.arange(64) / 10.0)
+    # 32 steps, dt growing geometrically by 2^(1/5): spread 74x per window
+    dts = 1e-4 * 2.0 ** (np.arange(32) / 5.0)
     grid = jnp.asarray(np.concatenate([[0.0], np.cumsum(dts)]))
     sol_seq = ivpsolve.solve_fixed_grid(vf, init, grid=grid, solver=solver)
-    for ce in (None, "ll"):
+    for ce in combine_engines:
         sol_par, diag = ivpsolve.solve_fixed_grid(
             vf, init, grid=grid, solver=solver, parallel=True,
-            iterations=8, window=64, form="sqrt", combine_engine=ce,
+            iterations=8, window=32, form="sqrt", combine_engine=ce,
             return_diagnostics=True,
         )
         assert int(np.asarray(diag["window_diverged"]).sum()) == 0
@@ -772,3 +794,14 @@ def test_per_step_preconditioning_nonuniform_window():
             np.asarray(sol_par.u_std), np.asarray(sol_seq.u_std),
             rtol=1e-6, atol=1e-12,
         )
+
+
+def test_per_step_preconditioning_nonuniform_window():
+    # ce=None exercises the per-step transform in the generic build; the
+    # fused-build ("ll") variant is a second full compile and runs slow
+    _per_step_nonuniform_oracle((None,))
+
+
+@pytest.mark.slow
+def test_per_step_preconditioning_nonuniform_window_fused_build():
+    _per_step_nonuniform_oracle(("ll",))
