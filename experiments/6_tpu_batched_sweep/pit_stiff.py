@@ -186,6 +186,21 @@ def main(argv=None):
         return float(np.median(times)), out
 
     results = []
+    path = pathlib.Path(__file__).parent / "data_pit_stiff.json"
+
+    def _flush():
+        out = {
+            "problem": "van_der_pol mu=1e3, TS1(4, ode_order=2), dense, "
+                       "adaptive grid rtol=%g" % args.rtol,
+            "dtype": args.dtype,
+            "grid_points": int(len(np.asarray(grid))),
+            "platform": jax.devices()[0].platform,
+            "device": str(jax.devices()[0]),
+            "results": results,
+        }
+        path.write_text(json.dumps(out, indent=2))
+        return out
+
     seq = jax.jit(
         lambda g, i: ivpsolve.solve_fixed_grid(vf, i, grid=g, solver=solver)
     )
@@ -193,6 +208,7 @@ def main(argv=None):
     u_seq = np.asarray(sol_seq.u)
     print(f"sequential: {t_seq * 1e3:9.2f} ms", flush=True)
     results.append({"mode": "sequential", "time_s": t_seq})
+    _flush()
 
     itol = 1e-8 if args.dtype == "f64" else 1e-5
     for window, iters, warmkind, engine in [
@@ -202,8 +218,6 @@ def main(argv=None):
         (256, 36, "discovery", "ll"),
         (512, 36, "discovery", None),
         (512, 36, "discovery", "ll"),
-        (512, 8, "discovery", None),
-        (512, 36, "sie:16", None),
         (1024, 36, "discovery", None),
     ]:
         if window >= len(np.asarray(grid)):
@@ -233,6 +247,7 @@ def main(argv=None):
                 "combine_engine": engine,
                 "error": f"{type(e).__name__}: {str(e)[:300]}",
             })
+            _flush()
             continue
         rel = float(
             np.max(np.abs(np.asarray(sol_par.u) - u_seq))
@@ -264,18 +279,9 @@ def main(argv=None):
             "speedup_vs_seq": ratio, "rel_vs_seq": rel,
             "fallback_windows": n_div, "num_windows": n_win,
         })
+        _flush()
 
-    out = {
-        "problem": "van_der_pol mu=1e3, TS1(4, ode_order=2), dense, "
-                   "adaptive grid rtol=%g" % args.rtol,
-        "dtype": args.dtype,
-        "grid_points": int(len(np.asarray(grid))),
-        "platform": jax.devices()[0].platform,
-        "device": str(jax.devices()[0]),
-        "results": results,
-    }
-    path = pathlib.Path(__file__).parent / "data_pit_stiff.json"
-    path.write_text(json.dumps(out, indent=2))
+    out = _flush()
     print(f"wrote {path}")
     return out
 
