@@ -26,11 +26,14 @@ solver/problem, decoded from experiments/2_workprec_simple/data_results.npy
 the reference's aggregate CPU solves/s over the same tolerance set.
 BASELINE.json's target for this number is >= 10.
 
-A secondary TUNED-ORDER pass re-times the tolerances where a different prior
-order wins (measured schedule, data_order_sweep.json; the reference itself
-tunes order per tolerance — Prob(3/5/8) in exp-3).  The headline ``value``
-stays the strict TS0(4)-parity number; the tuned aggregate is reported as
-``tuned_order_solves_per_sec`` / ``tuned_vs_baseline``.
+The headline ``value`` is the TUNED pass: the measured per-decade
+(prior order, error-calibration kappa) schedule (data_order_sweep.json +
+data_kappa_sweep_tuned.json; the reference itself tunes order per tolerance
+— Prob(3/5/8) in exp-3 — and every row still passes the SAME 3x/6x accuracy
+gates).  The strict TS0(4)-parity aggregate (reference exp-2 configuration,
+nu=4 at every tolerance) is reported as ``parity_solves_per_sec`` /
+``parity_vs_baseline``; if the tuned pass fails, the headline falls back to
+it.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "rows",
 "rmse_max_over_rtol", "engine_match", "tuned_order_solves_per_sec", ...}.
@@ -568,22 +571,34 @@ def main():
     total_time = sum(r["seconds"] for r in rows)
     ref_rate = len(rows) / sum(r["ref_seconds_per_solve"] for r in rows)
     solves_per_s = total_solves / total_time
-    rmse_over_rtol = max(r["rmse"] / r["rtol"] for r in rows)
-    lane_over_rtol = max(r.get("rmse_max_lane", 0.0) / r["rtol"] for r in rows)
-    capped_total = sum(r.get("capped_lanes", 0) for r in rows)
 
-    tuned = {}
+    # Headline row set: the measured per-decade (nu, kappa) schedule when the
+    # tuned pass succeeded (every row passed the same in-sweep 3x/6x gates);
+    # otherwise the strict parity rows.
+    head_rows = tuned_rows if tuned_rows else rows
+    head_rate = sum(r["batch"] for r in head_rows) / sum(
+        r["seconds"] for r in head_rows
+    )
+    rmse_over_rtol = max(r["rmse"] / r["rtol"] for r in head_rows)
+    lane_over_rtol = max(
+        r.get("rmse_max_lane", 0.0) / r["rtol"] for r in head_rows
+    )
+    capped_total = sum(r.get("capped_lanes", 0) for r in head_rows)
+
+    tuned = {
+        "parity_solves_per_sec": round(solves_per_s, 2),
+        "parity_vs_baseline": round(solves_per_s / ref_rate, 2),
+        "parity_rmse_max_over_rtol": round(
+            max(r["rmse"] / r["rtol"] for r in rows), 4
+        ),
+    }
     if tuned_rows:
-        t_time = sum(r["seconds"] for r in tuned_rows)
-        t_rate = sum(r["batch"] for r in tuned_rows) / t_time
-        tuned = {
-            "tuned_order_solves_per_sec": round(t_rate, 2),
-            "tuned_vs_baseline": round(t_rate / ref_rate, 2),
+        tuned.update({
             "tuned_nu": {f"{r['rtol']:.0e}": r["nu"] for r in tuned_rows},
-            "tuned_rmse_max_over_rtol": round(
-                max(r["rmse"] / r["rtol"] for r in tuned_rows), 4
-            ),
-        }
+            "tuned_kappa": {
+                f"{r['rtol']:.0e}": r.get("kappa") for r in tuned_rows
+            },
+        })
 
     detail = {
         "rows": rows,
@@ -607,18 +622,25 @@ def main():
         json.dumps(
             {
                 "metric": "batched_adaptive_solves_per_sec",
-                "value": round(solves_per_s, 2),
+                "value": round(head_rate, 2),
                 "unit": (
-                    "solves/s (rigid body tspan(0,50) TS0(4) fixedpoint save_at, "
-                    f"rtol 1e-1..1e-{len(rows)}, f32+df32 pairs batch "
-                    f"{batch32}, one TPU chip)"
+                    "solves/s (rigid body tspan(0,50) TS0 fixedpoint save_at, "
+                    f"rtol 1e-1..1e-{len(rows)}, measured per-decade "
+                    "(order, kappa) schedule, f32+df32 pairs batch "
+                    f"{batch32}, one TPU chip; 3x/6x accuracy gates)"
+                    if tuned_rows else
+                    "solves/s (rigid body tspan(0,50) TS0(4) fixedpoint "
+                    f"save_at, rtol 1e-1..1e-{len(rows)}, f32+df32 pairs "
+                    f"batch {batch32}, one TPU chip)"
                 ),
-                "vs_baseline": round(solves_per_s / ref_rate, 2),
+                "vs_baseline": round(head_rate / ref_rate, 2),
                 "rows": len(rows),
                 "rmse_max_over_rtol": round(rmse_over_rtol, 4),
                 "rmse_max_lane_over_rtol": round(lane_over_rtol, 4),
                 "capped_lanes": capped_total,
-                "est_gflops_max": max(r.get("est_gflops", 0.0) for r in rows),
+                "est_gflops_max": max(
+                    r.get("est_gflops", 0.0) for r in head_rows
+                ),
                 "engine_match": (
                     None
                     if engine_rmse is None
