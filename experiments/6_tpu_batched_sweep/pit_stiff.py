@@ -118,6 +118,15 @@ def main(argv=None):
                     help="restrict the parallel configs to these windows")
     ap.add_argument("--itol", type=float, default=None,
                     help="override the per-window iteration tolerance")
+    ap.add_argument("--engines", nargs="*", default=None,
+                    choices=["scan", "ll"],
+                    help="restrict the combine engines (the fused 'll' "
+                         "engine's x64-emulated compile can exceed 30 min "
+                         "on the relay; 'scan' compiles far faster)")
+    ap.add_argument("--skip-sequential", action="store_true",
+                    help="reuse a committed sequential row instead of "
+                         "re-measuring it (saves one x64 relay compile "
+                         "on retries after a timeout)")
     args = ap.parse_args(argv)
 
     if args.discover:
@@ -203,14 +212,32 @@ def main(argv=None):
         path.write_text(json.dumps(out, indent=2))
         return out
 
-    seq = jax.jit(
-        lambda g, i: ivpsolve.solve_fixed_grid(vf, i, grid=g, solver=solver)
-    )
-    t_seq, sol_seq = _time(seq, grid, init)
-    u_seq = np.asarray(sol_seq.u)
-    print(f"sequential: {t_seq * 1e3:9.2f} ms", flush=True)
-    results.append({"mode": "sequential", "time_s": t_seq})
-    _flush()
+    if args.skip_sequential and path.exists():
+        prior_rows = json.loads(path.read_text())["results"]
+        seq_rows = [r for r in prior_rows if r["mode"] == "sequential"]
+        assert seq_rows, "--skip-sequential needs a committed sequential row"
+        results.extend(prior_rows)  # keep earlier partial rows too
+        t_seq = seq_rows[0]["time_s"]
+        # parity oracle on the host CPU backend (compile is cheap there;
+        # the chip row's accuracy was already checked when it was measured)
+        seq_cpu = jax.jit(
+            lambda g, i: ivpsolve.solve_fixed_grid(vf, i, grid=g,
+                                                   solver=solver),
+            backend="cpu",
+        )
+        u_seq = np.asarray(seq_cpu(grid, init).u)
+        print(f"sequential: {t_seq * 1e3:9.2f} ms (reused committed row; "
+              f"oracle recomputed on cpu)", flush=True)
+    else:
+        seq = jax.jit(
+            lambda g, i: ivpsolve.solve_fixed_grid(vf, i, grid=g,
+                                                   solver=solver)
+        )
+        t_seq, sol_seq = _time(seq, grid, init)
+        u_seq = np.asarray(sol_seq.u)
+        print(f"sequential: {t_seq * 1e3:9.2f} ms", flush=True)
+        results.append({"mode": "sequential", "time_s": t_seq})
+        _flush()
 
     itol = args.itol or (1e-8 if args.dtype == "f64" else 1e-5)
     # Big windows first: sequential depth is O(T/w * sweeps * log w), so on a
@@ -231,6 +258,8 @@ def main(argv=None):
         if window >= len(np.asarray(grid)):
             continue
         if args.windows is not None and window not in args.windows:
+            continue
+        if args.engines is not None and (engine or "scan") not in args.engines:
             continue
 
         def par(g, i, wm, _w=window, _k=iters, _t=itol, _wk=warmkind,
