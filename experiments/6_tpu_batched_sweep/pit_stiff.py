@@ -212,20 +212,56 @@ def main(argv=None):
         path.write_text(json.dumps(out, indent=2))
         return out
 
+    done = set()
     if args.skip_sequential and path.exists():
-        prior_rows = json.loads(path.read_text())["results"]
+        prior_blob = json.loads(path.read_text())
+        # Refuse to mix rows from a different problem configuration (ADVICE
+        # r4): a retry with a different --rtol/--dtype would otherwise compute
+        # speedup_vs_seq against a sequential time measured on another
+        # problem and write a merged file whose header misdescribes the
+        # carried-over rows.
+        want_problem = ("van_der_pol mu=1e3, TS1(4, ode_order=2), dense, "
+                        "adaptive grid rtol=%g" % args.rtol)
+        for key, want in [
+            ("problem", want_problem),
+            ("dtype", args.dtype),
+            ("grid_points", int(len(np.asarray(grid)))),
+        ]:
+            got = prior_blob.get(key)
+            if got != want:
+                raise SystemExit(
+                    f"--skip-sequential: prior {path.name} has {key}={got!r} "
+                    f"but this run wants {want!r}; re-run without "
+                    f"--skip-sequential (or move the old file aside)"
+                )
+        prior_rows = prior_blob["results"]
         seq_rows = [r for r in prior_rows if r["mode"] == "sequential"]
         assert seq_rows, "--skip-sequential needs a committed sequential row"
         results.extend(prior_rows)  # keep earlier partial rows too
+        # Configs already measured successfully are not re-run (ADVICE r4:
+        # blind append duplicated rows for the same config).
+        done = {
+            (r.get("window"), r.get("combine_engine"),
+             r.get("iteration_tol"), r.get("warmstart"))
+            for r in prior_rows
+            if r["mode"] == "parallel" and "time_s" in r
+        }
         t_seq = seq_rows[0]["time_s"]
-        # parity oracle on the host CPU backend (compile is cheap there;
-        # the chip row's accuracy was already checked when it was measured)
-        seq_cpu = jax.jit(
-            lambda g, i: ivpsolve.solve_fixed_grid(vf, i, grid=g,
-                                                   solver=solver),
-            backend="cpu",
-        )
-        u_seq = np.asarray(seq_cpu(grid, init).u)
+        # parity oracle on the host CPU (compile is cheap there; the chip
+        # row's accuracy was already checked when it was measured).  NB the
+        # deprecated jit(backend=...) arg is avoided: commit the inputs to a
+        # CPU device instead.  Oracle provenance is recorded per row.
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            seq_cpu = jax.jit(
+                lambda g, i: ivpsolve.solve_fixed_grid(vf, i, grid=g,
+                                                       solver=solver)
+            )
+            u_seq = np.asarray(
+                seq_cpu(jax.device_put(grid, cpu),
+                        jax.device_put(init, cpu)).u
+            )
+        oracle_src = "cpu-recomputed"
         print(f"sequential: {t_seq * 1e3:9.2f} ms (reused committed row; "
               f"oracle recomputed on cpu)", flush=True)
     else:
@@ -235,6 +271,7 @@ def main(argv=None):
         )
         t_seq, sol_seq = _time(seq, grid, init)
         u_seq = np.asarray(sol_seq.u)
+        oracle_src = "device"
         print(f"sequential: {t_seq * 1e3:9.2f} ms", flush=True)
         results.append({"mode": "sequential", "time_s": t_seq})
         _flush()
@@ -260,6 +297,10 @@ def main(argv=None):
         if args.windows is not None and window not in args.windows:
             continue
         if args.engines is not None and (engine or "scan") not in args.engines:
+            continue
+        if (window, engine, itol, warmkind) in done:
+            print(f"skip w={window} combine={engine or 'scan'}: already in "
+                  f"prior rows", flush=True)
             continue
 
         def par(g, i, wm, _w=window, _k=iters, _t=itol, _wk=warmkind,
@@ -314,6 +355,7 @@ def main(argv=None):
             "iteration_tol": itol, "warmstart": warmkind,
             "combine_engine": engine, "time_s": t_par,
             "speedup_vs_seq": ratio, "rel_vs_seq": rel,
+            "rel_oracle": oracle_src,
             "fallback_windows": n_div, "num_windows": n_win,
         })
         _flush()

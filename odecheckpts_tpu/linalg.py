@@ -81,15 +81,24 @@ def qr_r(x):
     """
     m, n = x.shape[-2], x.shape[-1]
     k = min(m, n)
-    # Magnitude normalization (scale-invariant: R(c x) = c R(x)): stiff f32
-    # factors legitimately reach ~1e22 (preconditioner powers dt^-(nu+1/2)
-    # at dt ~ 1e-5 on VdP mu=1e3 adaptive grids), and the Householder
-    # column norm SQUARES entries -- overflow to inf -> NaN through the
-    # whole downstream solve.  This is the generic-path analogue of the
-    # fused engines' per-lane QR normalization (batched.make_step_ll,
-    # round 2c); f64 never binds (max ~1e308) but the rescale is harmless.
-    c = jnp.max(jnp.abs(x), axis=(-2, -1), keepdims=True)
-    c = jax.lax.stop_gradient(jnp.where(c > 0, c, 1.0))
+    # Magnitude guard (round 4, refined round 5): stiff f32 factors
+    # legitimately reach ~1e22 (preconditioner powers dt^-(nu+1/2) at
+    # dt ~ 1e-5 on VdP mu=1e3 adaptive grids), and the Householder column
+    # norm SQUARES entries -- overflow to inf -> NaN through the whole
+    # downstream solve.  The rescale is a POWER OF TWO, so it is exact in
+    # floating point (a pure exponent shift, no mantissa rounding), and it
+    # only engages outside a wide safe exponent band: inside the band
+    # c == 1 and the elimination is bit-identical to unnormalized
+    # arithmetic, keeping generic and fused stacks' accept/reject
+    # decisions in exact agreement.  (Round-4 regression: dividing by the
+    # raw max added two roundings per factor and flipped knife-edge
+    # accept steps between the stacks.)
+    amax = jnp.max(jnp.abs(x), axis=(-2, -1), keepdims=True)
+    ok = jnp.isfinite(amax) & (amax > 0)
+    e = jnp.floor(jnp.log2(jnp.where(ok, amax, 1.0)))
+    band = jnp.finfo(x.dtype).maxexp // 3
+    c = jnp.where(ok & (jnp.abs(e) > band), jnp.exp2(e), jnp.ones_like(amax))
+    c = jax.lax.stop_gradient(c)
     if min(m - 1, n) <= _UNROLL_MAX_COLS:
         r = _qr_r_householder(x / c)
     else:
