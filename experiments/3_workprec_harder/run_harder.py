@@ -101,18 +101,32 @@ def main():
     reference = rk_solver("dopri5")(1e-15)[0]
     precision = harness.rmse_absolute(reference)
 
+    here = pathlib.Path(__file__).parent
+    partial_path = here / "data_results.partial.npy"
     results = {}
+    if args.resume and partial_path.exists():
+        import numpy as np
+
+        results = np.load(partial_path, allow_pickle=True).item()
+        print(f"resumed {len(results)} completed algorithms: {list(results)}")
     for label, (tols_, algo) in algorithms.items():
+        if label in results:
+            print(label, "(resumed)", flush=True)
+            continue
         print(label, flush=True)
         wp = harness.workprec(algo, precision_fun=precision, timeit_fun=time_fn)
         results[label] = wp(list(map(float, tols_)))
+        if not args.nosave:
+            # incremental flush: a killed run keeps its completed rows
+            # (round-4 regen died after hours with nothing saved)
+            jnp.save(partial_path, results, allow_pickle=True)
 
     if args.nosave:
         print("\nSkipped saving.\n")
     else:
-        here = os.path.dirname(__file__)
-        jnp.save(os.path.join(here, "data_results.npy"), results, allow_pickle=True)
-        jnp.save(os.path.join(here, "data_checkpoints.npy"), xs)
+        jnp.save(here / "data_results.npy", results, allow_pickle=True)
+        jnp.save(here / "data_checkpoints.npy", xs)
+        partial_path.unlink(missing_ok=True)
         print("\nSaving successful.\n")
 
 
@@ -123,6 +137,8 @@ def parse_arguments() -> argparse.Namespace:
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--nosave", action=argparse.BooleanOptionalAction)
     parser.add_argument("--error-unit", choices=["qoi", "residual"], default="residual")
+    parser.add_argument("--resume", action="store_true",
+                        help="skip algorithms already in data_results.partial.npy")
     return parser.parse_args()
 
 

@@ -26,9 +26,13 @@ import jax
 import jax.numpy as jnp
 
 # Below this column count, use the unrolled Householder QR (fast + batched on
-# TPU); above it, defer to XLA's QR.  The isotropic/blockdiag backends always
-# sit far below this threshold; the dense backend crosses it for large d*nu.
+# TPU); between it and _LOOP_MAX_COLS, the fori_loop Householder (same
+# arithmetic, one-reflection program — keeps relay compiles fast at the dense
+# backend's (2nd, 2nd) revert shapes, where XLA's blocked QR was measured
+# 9.4x SLOWER than the elementwise Householder at d=8, nu=4:
+# experiments/6_tpu_batched_sweep/data_dense_mxu.json); above that, XLA's QR.
 _UNROLL_MAX_COLS = 24
+_LOOP_MAX_COLS = 128
 
 
 def _sign_safe(x):
@@ -72,6 +76,41 @@ def _qr_r_householder(x):
     return x[..., :k, :]
 
 
+def _qr_r_householder_loop(x):
+    """``fori_loop`` variant of `_qr_r_householder` for mid-size columns.
+
+    Identical per-reflection arithmetic with the column index traced instead
+    of unrolled: the compiled program holds ONE reflection body regardless of
+    the column count (the dense backend's revert reaches (2nd, 2nd) = (80, 80)
+    at d=8, nu=4 — 79 unrolled reflections would bloat every step of the
+    adaptive while loop).  Static trip count, so it lowers to `scan` and
+    stays reverse-mode differentiable.
+    """
+    m, n = x.shape[-2], x.shape[-1]
+    k = min(m, n)
+    eps = jnp.finfo(x.dtype).tiny
+    rows = jnp.arange(m)
+
+    def body(j, x):
+        col = jnp.take(x, j, axis=-1)  # (..., m)
+        below = (rows >= j).astype(x.dtype)
+        is_j = (rows == j).astype(x.dtype)
+        colm = col * below
+        norm2 = jnp.sum(colm * colm, axis=-1, keepdims=True)
+        norm = jnp.sqrt(norm2 + eps)
+        head = jnp.sum(colm * is_j, axis=-1, keepdims=True)
+        alpha = -_sign_safe(head) * norm
+        v = colm - is_j * alpha
+        vnorm2 = norm2 + alpha * alpha - 2.0 * head * alpha
+        safe = vnorm2 > eps
+        inv = jnp.where(safe, 2.0 / jnp.where(safe, vnorm2, 1.0), 0.0)
+        coeff = jnp.einsum("...i,...ik->...k", v, x)
+        return x - inv[..., None] * v[..., :, None] * coeff[..., None, :]
+
+    x = jax.lax.fori_loop(0, min(n, m - 1), body, x)
+    return x[..., :k, :]
+
+
 def qr_r(x):
     """Upper-triangular/trapezoidal ``R`` with ``R^T R = x^T x``; diag(R) >= 0.
 
@@ -101,6 +140,8 @@ def qr_r(x):
     c = jax.lax.stop_gradient(c)
     if min(m - 1, n) <= _UNROLL_MAX_COLS:
         r = _qr_r_householder(x / c)
+    elif min(m - 1, n) <= _LOOP_MAX_COLS:
+        r = _qr_r_householder_loop(x / c)
     else:
         r = jnp.linalg.qr(x / c, mode="r")
     d = _sign_safe(jnp.diagonal(r, axis1=-2, axis2=-1))

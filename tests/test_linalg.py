@@ -84,6 +84,51 @@ def test_qr_r_grad_defined():
     assert jnp.all(jnp.isfinite(g))
 
 
+def test_qr_r_dense_revert_shape_uses_loop_householder():
+    """(2nd, 2nd) = (80, 80) at d=8, nu=4 — the dense backend's revert QR.
+    Round 4 measured XLA's blocked QR 9.4x slower than the elementwise
+    Householder at this shape (data_dense_mxu.json); qr_r now routes it
+    through the fori_loop Householder.  Gate: same Gram matrix and same
+    |R| as XLA's QR."""
+    x = jax.random.normal(jax.random.PRNGKey(7), (80, 80))
+    r = linalg.qr_r(x)
+    assert r.shape == (80, 80)
+    np.testing.assert_allclose(r.T @ r, x.T @ x, rtol=5e-10, atol=5e-10)
+    np.testing.assert_allclose(r, jnp.triu(r), atol=1e-10)
+    r_xla = np.asarray(jnp.linalg.qr(x, mode="r"))
+    np.testing.assert_allclose(np.abs(r), np.abs(r_xla), rtol=1e-8, atol=1e-8)
+
+
+def test_qr_r_loop_matches_unrolled():
+    """The fori_loop body performs the identical reflection arithmetic; XLA
+    fuses the two programs differently so agreement is to rounding (~1e-15),
+    not bitwise.  (Cross-stack determinism is unaffected: any given shape
+    routes through exactly one variant.)"""
+    x = jax.random.normal(jax.random.PRNGKey(8), (3, 30, 28))
+    r_unrolled = jax.vmap(linalg._qr_r_householder)(x)
+    r_loop = jax.vmap(linalg._qr_r_householder_loop)(x)
+    np.testing.assert_allclose(
+        np.asarray(r_unrolled), np.asarray(r_loop), rtol=1e-13, atol=1e-13
+    )
+
+
+def test_qr_r_pow2_rescale_is_identity_in_safe_band():
+    """Inside the safe exponent band the rescale factor is exactly 1, so
+    qr_r is bit-identical to the raw Householder elimination (this is the
+    round-5 contract that keeps generic and fused accept/reject decisions
+    in exact agreement)."""
+    x = jax.random.normal(jax.random.PRNGKey(9), (10, 5))
+    np.testing.assert_array_equal(
+        np.asarray(linalg.qr_r(x)),
+        np.asarray(linalg.qr_r(x * 1.0)),
+    )
+    raw = linalg._qr_r_householder(x)
+    d = jnp.where(jnp.diagonal(raw) >= 0, 1.0, -1.0)
+    np.testing.assert_array_equal(
+        np.asarray(linalg.qr_r(x)), np.asarray(raw * d[:, None])
+    )
+
+
 def test_qr_r_magnitude_normalized_f32():
     """Stiff f32 factors legitimately reach ~1e22 (preconditioner powers at
     dt ~ 1e-5); the Householder column norm SQUARES entries, so without the
