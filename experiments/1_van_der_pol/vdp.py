@@ -32,7 +32,7 @@ import jax.numpy as jnp  # noqa: E402
 from odecheckpts_tpu import harness, ivpsolve, ivpsolvers, problems, taylor  # noqa: E402
 
 
-def main(max_fixed_steps=None):
+def main(max_fixed_steps=None, reverify=False):
     vf, (u0, du0), (t0, t1) = problems.van_der_pol(mu=10.0**3)
 
     num = 4
@@ -62,6 +62,28 @@ def main(max_fixed_steps=None):
         required_steps = min(required_steps, max_fixed_steps)
     print(f"adaptive steps: {len(steps)}, min step {float(min_step):.3g}, "
           f"uniform-equivalent steps: {required_steps:,}")
+
+    if reverify:
+        # Reproducibility check of the deterministic outputs against the
+        # committed data (reference standard: data the adjacent script
+        # reproduces).  The adaptive grid is a pure function of the
+        # accept/reject sequence — any numerics drift flips it.
+        import numpy as np
+
+        here = os.path.dirname(__file__)
+        grid_c = np.load(os.path.join(here, "vdp_baseline_grid.npy"))
+        steps_c = np.load(os.path.join(here, "vdp_num_steps.npy"))
+        ok = len(baseline_grid) == len(grid_c)
+        if ok:
+            ok = bool(np.allclose(np.asarray(baseline_grid), grid_c, rtol=1e-12))
+        print(f"reverify baseline grid ({len(grid_c)} pts): "
+              f"{'MATCH' if ok else 'MISMATCH'}")
+        ok2 = [len(steps), required_steps] == list(np.asarray(steps_c))
+        print(f"reverify num_steps {list(np.asarray(steps_c))}: "
+              f"{'MATCH' if ok2 else 'MISMATCH'} "
+              f"(got [{len(steps)}, {required_steps}])")
+        print("REVERIFY", "OK" if (ok and ok2) else "FAILED")
+        raise SystemExit(0 if (ok and ok2) else 1)
 
     @harness.jit_and_time
     def solve_adaptive():
@@ -107,5 +129,8 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--max-fixed-steps", type=int, default=None,
                    help="cap the uniform grid size (for quick runs)")
+    p.add_argument("--reverify", action="store_true",
+                   help="compare the deterministic outputs (baseline grid, "
+                        "step counts) to the committed data and exit")
     args = p.parse_args()
-    main(max_fixed_steps=args.max_fixed_steps)
+    main(max_fixed_steps=args.max_fixed_steps, reverify=args.reverify)

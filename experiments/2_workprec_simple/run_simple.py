@@ -103,6 +103,36 @@ def main():
         param_to_wp = harness.workprec(algo, precision_fun=precision, timeit_fun=time_fn)
         results[label] = param_to_wp(list(map(float, tols_)))
 
+    if args.reverify:
+        # Deterministic-output reproducibility check against the committed
+        # data (the reference's standard: data the script next to it
+        # reproduces, run_simple.py:133-136).  Timing columns are excluded
+        # (machine-dependent); precision and the memory proxy are exact
+        # functions of the accept/reject sequence, so any numerics change
+        # that flips a step shows up here.
+        import numpy as np
+
+        here = os.path.dirname(__file__)
+        committed = np.load(
+            os.path.join(here, "data_results.npy"), allow_pickle=True
+        ).item()
+        ok = True
+        for label, got in results.items():
+            want = committed[label]
+            for key in ("precision", "length_of_longest_vector", "list_of_args"):
+                same = np.allclose(
+                    np.asarray(got[key], dtype=float),
+                    np.asarray(want[key], dtype=float),
+                    rtol=1e-12,
+                )
+                ok &= same
+                print(f"reverify {label!r} {key}: {'MATCH' if same else 'MISMATCH'}")
+                if not same:
+                    print("  got :", np.asarray(got[key]))
+                    print("  want:", np.asarray(want[key]))
+        print("REVERIFY", "OK" if ok else "FAILED")
+        raise SystemExit(0 if ok else 1)
+
     if args.nosave:
         print("\nSkipped saving.\n")
     else:
@@ -120,6 +150,11 @@ def parse_arguments() -> argparse.Namespace:
     parser.add_argument("--stop", type=int, default=10)
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--nosave", action=argparse.BooleanOptionalAction)
+    parser.add_argument(
+        "--reverify",
+        action="store_true",
+        help="compare deterministic outputs to committed data instead of saving",
+    )
     return parser.parse_args()
 
 

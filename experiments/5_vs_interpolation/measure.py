@@ -112,9 +112,39 @@ ALGORITHMS = [
 ]
 
 
-def main(num_samples, tol_exponents, num_save_at=50):
+def main(num_samples, tol_exponents, num_save_at=50, reverify=False):
     vf, u0_tuple, tspan = problems.three_body_restricted()
     save_at = jnp.linspace(tspan[0], tspan[-1], num=num_save_at)
+
+    if reverify:
+        # Reproducibility check of the deterministic column ("No. steps",
+        # the AS discovery solve's accept count — a pure function of the
+        # accept/reject sequence) against the committed table.  Timing
+        # columns are machine-dependent and excluded.
+        import numpy as np
+
+        here = os.path.dirname(__file__)
+        committed = np.load(
+            os.path.join(here, "data_results.npy"), allow_pickle=True
+        ).item()
+        ok = True
+        for expo in tol_exponents:
+            tol = 10.0 ** (-float(expo))
+            _, nsteps = build_tstops_sampler(
+                vf, u0_tuple, tspan, tol=tol, save_at=save_at, num_samples=1
+            )
+            want_rows = [
+                r["No. steps"]
+                for r in committed.values()
+                if r["Tolerance"] == f"$10^{{-{int(expo)}}}$"
+            ]
+            got = f"{int(nsteps):,}"
+            same = all(w == got for w in want_rows)
+            ok &= same
+            print(f"reverify tol=1e-{int(expo)}: steps {got} vs committed "
+                  f"{set(want_rows)}: {'MATCH' if same else 'MISMATCH'}")
+        print("REVERIFY", "OK" if ok else "FAILED")
+        raise SystemExit(0 if ok else 1)
 
     results = {}
     for i, (n, expo) in enumerate(
@@ -147,5 +177,9 @@ if __name__ == "__main__":
     p.add_argument("--samples", type=int, nargs="+", default=[5, 50, 500])
     p.add_argument("--tols", type=float, nargs="+", default=[4, 7, 10])
     p.add_argument("--save-at", type=int, default=50)
+    p.add_argument("--reverify", action="store_true",
+                   help="compare the deterministic step counts to the "
+                        "committed table and exit")
     args = p.parse_args()
-    main(args.samples, args.tols, num_save_at=args.save_at)
+    main(args.samples, args.tols, num_save_at=args.save_at,
+         reverify=args.reverify)
