@@ -103,6 +103,7 @@ def test_order2_xla_engine_matches_generic_vmapped_solver():
     )
 
 
+@pytest.mark.slow  # order-1 interpret gate remains fast; order-2 xla gate too
 def test_order2_pallas_interpret_matches_xla_engine():
     vf, save_at, u0s, tols = _inputs_order2(dtype=jnp.float32)
     kw = dict(save_at=save_at, dt0=0.01, tols=tols, ode_order=2)
@@ -375,7 +376,9 @@ def test_pallas_loop_interpret_matches_xla_engine():
     np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_x))
 
 
-@pytest.mark.parametrize("nu", [3, 5])
+@pytest.mark.parametrize(
+    "nu", [3, pytest.param(5, marks=pytest.mark.slow)]  # nu=5: 79s (r5)
+)
 def test_nondefault_order_matches_generic(nu):
     """Orders other than nu=4 (the per-tolerance order schedule in bench.py
     and order_sweep.py): the fused engine must equal the generic stack at

@@ -26,6 +26,9 @@ def _rigid_inputs(dtype=jnp.float64, batch=4):
     return vf, params, save_at, u0s, tols
 
 
+# 92-110s each measured (r5): the dense fused-vs-generic oracle stays in
+# the fast tier via test_dense_ts1_vdp_as_system_matches_generic
+@pytest.mark.slow
 @pytest.mark.parametrize("corr", ["ts1", "ts0"])
 def test_dense_xla_engine_matches_generic_vmapped(corr):
     vf, params, save_at, u0s, tols = _rigid_inputs()
@@ -90,6 +93,9 @@ def test_dense_ts1_vdp_as_system_matches_generic():
     )
 
 
+# interpret-mode compiles are 69-71s each (r5); the Mosaic-vs-XLA interpret
+# oracle stays fast via test_batched/test_batched_blockdiag interpret tests
+@pytest.mark.slow
 def test_dense_pallas_interpret_matches_xla():
     vf, params, save_at, u0s, tols = _rigid_inputs(dtype=jnp.float32)
     kw = dict(save_at=save_at, dt0=0.1, tols=tols, correction="ts1", lanes=4)
@@ -103,6 +109,7 @@ def test_dense_pallas_interpret_matches_xla():
     np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_x))
 
 
+@pytest.mark.slow  # see note above
 def test_dense_pallas_loop_interpret_matches_xla():
     vf, params, save_at, u0s, tols = _rigid_inputs(dtype=jnp.float32)
     kw = dict(save_at=save_at, dt0=0.1, tols=tols, correction="ts1", lanes=4)

@@ -10,6 +10,7 @@ generic smoothing-marginal chain.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from odecheckpts_tpu import (
     batched_everystep,
@@ -141,6 +142,7 @@ def test_everystep_smoother_matches_generic_marginal_chain():
         )
 
 
+@pytest.mark.slow  # interpret gate representative stays in test_batched
 def test_everystep_pallas_interpret_matches_xla():
     vf, params, tspan, u0s, tols = _ensemble(dtype=jnp.float32)
     kw = dict(

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from odecheckpts_tpu import exp_util, facade, harness, ivpsolve, problems
 
@@ -89,6 +90,7 @@ def test_integral_controller_solves():
     np.testing.assert_allclose(np.asarray(sol.u)[:, 0], exact(save_at), rtol=1e-4)
 
 
+@pytest.mark.slow  # 15s warm (r5): two debug_nans recompiles of a full solve
 def test_nan_guard_and_debug_nans_context():
     import pytest
 

@@ -8,8 +8,15 @@ import pytest
 from odecheckpts_tpu import ivpsolve, ivpsolvers, problems, stats, taylor
 
 
+# both params slow (64s+ each, measured r5): the parallel-vs-sequential
+# oracle stays in the fast tier via test_adaptive_parallel_in_time_
+# matches_sequential_resolve and the prefix-scan equivalence tests
 @pytest.mark.parametrize(
-    "impl", ["isotropic", pytest.param("dense", marks=pytest.mark.slow)]
+    "impl",
+    [
+        pytest.param("isotropic", marks=pytest.mark.slow),
+        pytest.param("dense", marks=pytest.mark.slow),
+    ],
 )
 def test_parallel_marginals_match_sequential(impl):
     vf, u0s, tspan, params = problems.rigid_body()
@@ -39,6 +46,7 @@ def test_parallel_marginals_match_sequential(impl):
     np.testing.assert_allclose(cov_par, cov_seq, rtol=1e-6, atol=1e-12)
 
 
+@pytest.mark.slow  # 24s warm (r5); PIT-vs-seq canary: adaptive_resolve test
 def test_parallel_sampling_matches_sequential():
     vf, u0s, tspan, params = problems.rigid_body()
     vf_p = lambda u, *, t: vf(u, t=t, p=params)  # noqa: E731
@@ -390,8 +398,9 @@ def _reparam_oracle(combos):
         ), (form, pc, dev)
 
 
+@pytest.mark.slow  # 118s measured (r5): heaviest single compile in the tier
 def test_precondition_and_deviation_are_exact_reparameterizations():
-    """Fast oracle: the shipped default (sqrt, preconditioned, deviation)
+    """Oracle: the shipped default (sqrt, preconditioned, deviation)
     and the plain baseline (cov, neither).  Each (form, pc, dev) combo is a
     separately compiled eager program (~100 s each on this box), so the full
     eight-way cross-product lives in the slow variant below."""
@@ -796,6 +805,7 @@ def _per_step_nonuniform_oracle(combine_engines):
         )
 
 
+@pytest.mark.slow  # 78s measured (r5)
 def test_per_step_preconditioning_nonuniform_window():
     # ce=None exercises the per-step transform in the generic build; the
     # fused-build ("ll") variant is a second full compile and runs slow

@@ -70,7 +70,17 @@ def test_combine_ll_matches_sequential_combine():
     _assert_elements_match(got, want, atol=1e-11)
 
 
-@pytest.mark.parametrize("p", [1, 2, 11, 16])
+@pytest.mark.parametrize(
+    "p",
+    [
+        1,
+        2,
+        # the large-P variants re-verify the same Kogge-Stone identity at
+        # 20-28s each (warm, r5); P in {1, 2} keeps the oracle fast
+        pytest.param(11, marks=pytest.mark.slow),
+        pytest.param(16, marks=pytest.mark.slow),
+    ],
+)
 def test_prefix_scan_matches_associative_scan(p):
     els = _random_elements(jax.random.PRNGKey(p), p, 4, 1)
     want = jax.lax.associative_scan(
@@ -89,6 +99,7 @@ def test_identity_element_is_neutral():
     _assert_elements_match(right, els, atol=1e-12)
 
 
+@pytest.mark.slow  # Mosaic-vs-XLA interpret gate stays fast in test_batched
 def test_prefix_scan_pallas_interpret_matches_xla():
     # f32: interpret-mode Mosaic and XLA order the QR/solve reductions
     # differently, so unstructured O(1) random elements agree to a few
@@ -116,6 +127,7 @@ def _fixed_grid_setup():
     return vf_p, init, grid, solver
 
 
+@pytest.mark.slow  # 64s measured (r5); prefix-scan oracles remain fast
 def test_combine_engine_end_to_end_matches_default():
     vf_p, init, grid, solver = _fixed_grid_setup()
     kw = dict(
@@ -155,6 +167,7 @@ def test_combine_ll_rank_polymorphic_block_axis():
     _assert_elements_match(flat, want, atol=1e-11)
 
 
+@pytest.mark.slow  # block-axis layout also covered by rank-polymorphic test
 def test_prefix_scan_block_axis_matches_per_block():
     nb, p, m, c = 2, 7, 3, 1
     els = _random_elements(jax.random.PRNGKey(13), nb * p, m, c)
@@ -172,6 +185,7 @@ def test_prefix_scan_block_axis_matches_per_block():
         _assert_elements_match(got_b, want, atol=1e-9)
 
 
+@pytest.mark.slow  # 90s measured (r5)
 def test_combine_engine_end_to_end_blockdiag():
     vfp, u0s, tspan, params = problems.rigid_body()
     vf2 = lambda u, *, t: vfp(u, t=t, p=params)  # noqa: E731

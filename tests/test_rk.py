@@ -67,8 +67,10 @@ def _three_body_1st():
     "problem,horizon_tol",
     [
         (problems.rigid_body, 1e-11),
-        (problems.pleiades_1st, 1e-10),
-        (_three_body_1st, 1e-8),
+        # pleiades/three-body re-verify the same cross-library pin at
+        # 14-19s each (warm, r5); rigid_body keeps the oracle fast
+        pytest.param(problems.pleiades_1st, 1e-10, marks=pytest.mark.slow),
+        pytest.param(_three_body_1st, 1e-8, marks=pytest.mark.slow),
     ],
     ids=["rigid_body", "pleiades", "three_body"],
 )

@@ -94,7 +94,8 @@ def test_save_at_fixedpoint_matches_closed_form(impl, calibrate):
     assert sol.posterior.init.mean.shape[0] == 7
 
 
-def test_save_at_equals_save_every_step_plus_offgrid_interpolation():
+@pytest.mark.slow  # checkpoint==interpolate also pinned (vs RK) by the fast
+def test_save_at_equals_save_every_step_plus_offgrid_interpolation():  # facade matrix
     """The reference's core cross-check (tests/test_ivpsolvers.py:21-24 vs 11-16)."""
     vf, u0s, tspan, params = problems.rigid_body()
     vf_p = lambda u, *, t: vf(u, t=t, p=params)  # noqa: E731
