@@ -46,7 +46,7 @@ if os.environ.get("ODECKPT_PLATFORM"):
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from odecheckpts_tpu import harness  # noqa: E402
+from odecheckpts_tpu import harness, linalg  # noqa: E402
 from odecheckpts_tpu.batched import _qr_r_cols  # noqa: E402
 from odecheckpts_tpu.prior import system_matrices  # noqa: E402
 
@@ -168,9 +168,20 @@ def main(argv=None):
                 return r
             return jax.lax.fori_loop(0, iters, body, x)
 
+        @jax.jit
+        def run_q_generic(x):
+            # the shipped generic-path routing (linalg.qr_r): since round 5
+            # this lands in the fori_loop Householder for 24 < cols <= 128
+            # instead of XLA's blocked QR (the "mxu" row above, measured
+            # 9.4x slower at (80, 80) in round 4)
+            def body(k, x):
+                return jax.vmap(linalg.qr_r)(x + 1e-6 * k.astype(x.dtype))
+            return jax.lax.fori_loop(0, iters, body, x)
+
         for label, run, x in [
             ("revert_qr-ll", run_q_ll, xq_ll),
             ("revert_qr-mxu", run_q_mxu, xq_bf),
+            ("revert_qr-generic", run_q_generic, xq_bf),
         ]:
             try:
                 t = _bench(run, x)
