@@ -47,6 +47,11 @@ import jax
 
 if os.environ.get("ODECKPT_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["ODECKPT_PLATFORM"])
+# Persistent compile cache: retries after a relay timeout reuse compiles.
+jax.config.update("jax_compilation_cache_dir",
+                  str(pathlib.Path(__file__).resolve().parents[2]
+                      / ".jax_compcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -92,6 +97,17 @@ def main(argv=None):
 
     vf, init, tspan, solver = _build()
     results = []
+    path = pathlib.Path(__file__).parent / "data_pit_crossover.json"
+
+    def _flush():
+        out = {
+            "platform": jax.devices()[0].platform,
+            "device": str(jax.devices()[0]),
+            "results": results,
+        }
+        path.write_text(json.dumps(out, indent=2))
+        return out
+
     for t_n in args.sizes:
         grid = jnp.linspace(tspan[0], tspan[1], t_n, dtype=jnp.float32)
         init32 = jax.tree.map(
@@ -110,6 +126,7 @@ def main(argv=None):
         results.append(
             {"T": t_n, "mode": "sequential", "time_s": t_seq}
         )
+        _flush()
 
         for window, iters, warm, engine in [
             (512, 2, "rk:16", None),
@@ -154,6 +171,7 @@ def main(argv=None):
                         "error": f"{type(e).__name__}: {str(e)[:300]}",
                     }
                 )
+                _flush()
                 continue
             rel = float(
                 np.max(np.abs(np.asarray(sol_par.u) - u_seq))
@@ -179,14 +197,9 @@ def main(argv=None):
                     "rel_vs_seq": rel,
                 }
             )
+            _flush()
 
-    out = {
-        "platform": jax.devices()[0].platform,
-        "device": str(jax.devices()[0]),
-        "results": results,
-    }
-    path = pathlib.Path(__file__).parent / "data_pit_crossover.json"
-    path.write_text(json.dumps(out, indent=2))
+    out = _flush()
     print(f"wrote {path}")
     return out
 

@@ -145,6 +145,11 @@ def main(argv=None):
 
     if os.environ.get("ODECKPT_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["ODECKPT_PLATFORM"])
+    # Persistent compile cache: the x64-emulated PIT programs cost tens of
+    # minutes of relay compile; a timed-out retry should not pay them twice.
+    jax.config.update("jax_compilation_cache_dir",
+                      str(pathlib.Path(__file__).parents[2] / ".jax_compcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
     import numpy as np
@@ -303,19 +308,24 @@ def main(argv=None):
                   f"prior rows", flush=True)
             continue
 
+        # ONE compiled program for timing AND diagnostics: the per-window
+        # divergence flags are scalar byproducts of the sweeps already run
+        # (no extra compute worth naming), and the x64-emulated PIT programs
+        # cost tens of relay-compile minutes EACH — a separate untimed
+        # diagnostics variant doubled that and caused the round-4 timeouts.
         def par(g, i, wm, _w=window, _k=iters, _t=itol, _wk=warmkind,
                 _e=engine):
             return ivpsolve.solve_fixed_grid(
                 vf, i, grid=g, solver=solver, parallel=True,
                 window=_w, iterations=_k, iteration_tol=_t,
                 warmstart=(wm if _wk == "discovery" else _wk),
-                form="sqrt", combine_engine=_e,
+                form="sqrt", combine_engine=_e, return_diagnostics=True,
             )
 
         label = (f"w={window:5d} k<={iters} itol={itol:g} warm={warmkind} "
                  f"combine={engine or 'scan'}")
         try:
-            t_par, sol_par = _time(jax.jit(par), grid, init, warm)
+            t_par, (sol_par, diag) = _time(jax.jit(par), grid, init, warm)
         except Exception as e:
             print(f"parallel {label}: FAILED {type(e).__name__}: "
                   f"{str(e)[:120]}", flush=True)
@@ -331,17 +341,6 @@ def main(argv=None):
             np.max(np.abs(np.asarray(sol_par.u) - u_seq))
             / max(np.max(np.abs(u_seq)), 1e-30)
         )
-        # untimed diagnostics pass: the committed claim includes zero
-        # sequential-fallback windows
-        _sol_d, diag = jax.jit(
-            lambda g, i, wm, _w=window, _k=iters, _t=itol, _wk=warmkind,
-            _e=engine: ivpsolve.solve_fixed_grid(
-                vf, i, grid=g, solver=solver, parallel=True,
-                window=_w, iterations=_k, iteration_tol=_t,
-                warmstart=(wm if _wk == "discovery" else _wk),
-                form="sqrt", combine_engine=_e, return_diagnostics=True,
-            )
-        )(grid, init, warm)
         n_div = int(np.asarray(diag["window_diverged"]).sum())
         n_win = int(diag["num_windows"])
         ratio = t_seq / t_par
