@@ -131,13 +131,16 @@ def main(argv=None):
         for window, iters, warm, engine in [
             (512, 2, "rk:16", None),
             (512, 2, "rk:16", "ll"),
+            (512, 2, "rk:16", "ll-scan"),
             (512, 2, "rk:16", "pallas"),
             (1024, 2, "rk:16", None),
             (1024, 2, "rk:16", "ll"),
+            (1024, 2, "rk:16", "ll-scan"),
             (1024, 2, "rk:16", "pallas"),
             (1024, 2, "rk", None),
             (2048, 2, "rk:16", None),
             (2048, 2, "rk:16", "ll"),
+            (2048, 2, "rk:16", "ll-scan"),
             (2048, 2, "rk:16", "pallas"),
         ]:
             if window >= t_n:

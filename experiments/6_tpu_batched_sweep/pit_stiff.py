@@ -119,10 +119,12 @@ def main(argv=None):
     ap.add_argument("--itol", type=float, default=None,
                     help="override the per-window iteration tolerance")
     ap.add_argument("--engines", nargs="*", default=None,
-                    choices=["scan", "ll"],
-                    help="restrict the combine engines (the fused 'll' "
-                         "engine's x64-emulated compile can exceed 30 min "
-                         "on the relay; 'scan' compiles far faster)")
+                    choices=["scan", "ll", "ll-scan"],
+                    help="restrict the combine engines.  'll-scan' (round "
+                         "5) puts the Kogge-Stone levels under lax.scan: "
+                         "9.2k jaxpr eqns vs 70-86k for 'scan'/'ll' at "
+                         "these shapes, window-independent — the only one "
+                         "whose x64 relay compile is not the bottleneck")
     ap.add_argument("--skip-sequential", action="store_true",
                     help="reuse a committed sequential row instead of "
                          "re-measuring it (saves one x64 relay compile "
@@ -287,6 +289,11 @@ def main(argv=None):
     # (w=16 means ceil(T/16) sequentially processed windows).  A partial run
     # (relay flakiness) should leave the informative rows behind.
     for window, iters, warmkind, engine in [
+        (1024, 36, "discovery", "ll-scan"),
+        (512, 36, "discovery", "ll-scan"),
+        (256, 36, "discovery", "ll-scan"),
+        (2048, 36, "discovery", "ll-scan"),
+        (64, 36, "discovery", "ll-scan"),
         (1024, 36, "discovery", "ll"),
         (1024, 36, "discovery", None),
         (2048, 36, "discovery", "ll"),
@@ -294,7 +301,6 @@ def main(argv=None):
         (512, 36, "discovery", None),
         (256, 36, "discovery", "ll"),
         (256, 36, "discovery", None),
-        (64, 36, "discovery", None),
         (16, 36, "discovery", None),
     ]:
         if window >= len(np.asarray(grid)):

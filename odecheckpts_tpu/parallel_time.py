@@ -569,10 +569,15 @@ def solve_fixed_grid_parallel(
     """
     if form not in ("cov", "sqrt"):
         raise ValueError(f"form must be 'cov' or 'sqrt', got {form!r}")
-    if combine_engine not in (None, "ll", "pallas", "pallas-interpret"):
+    if combine_engine not in (
+        None, "ll", "ll-scan", "pallas", "pallas-interpret"
+    ):
         raise ValueError(
             "combine_engine must be None (associative_scan), 'll' (lanes-"
-            "last Kogge-Stone under XLA), 'pallas' (one Mosaic kernel per "
+            "last Kogge-Stone under XLA, levels unrolled), 'll-scan' "
+            "(lanes-last Kogge-Stone with the levels under lax.scan — one "
+            "combine body in the program, ~10x smaller compile for the "
+            "x64-emulated stiff solves), 'pallas' (one Mosaic kernel per "
             f"level), or 'pallas-interpret'; got {combine_engine!r}"
         )
     if combine_engine is not None and form != "sqrt":
@@ -858,6 +863,8 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
                 engine=(
                     "pallas"
                     if combine_engine.startswith("pallas")
+                    else "xla-scan"
+                    if combine_engine == "ll-scan"
                     else "xla"
                 ),
                 interpret=combine_engine == "pallas-interpret",
@@ -990,6 +997,8 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
                     engine=(
                         "pallas"
                         if combine_engine.startswith("pallas")
+                        else "xla-scan"
+                        if combine_engine == "ll-scan"
                         else "xla"
                     ),
                     interpret=combine_engine == "pallas-interpret",

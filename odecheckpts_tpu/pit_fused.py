@@ -216,6 +216,11 @@ def prefix_scan_sqrt_ll(els_ll, *, engine="xla", lanes=512, interpret=False):
     so prefix[i] accumulates elements [0..i] after ceil(log2 P) levels.
     ``engine="pallas"`` runs each level's combine as one Mosaic kernel
     (requires P padded to the 128-lane tile; handled here).
+    ``engine="xla-scan"`` runs the levels under ``lax.scan`` with a traced
+    shift (gather instead of static slice): the combine body appears in the
+    program once, not ceil(log2 P) times — the compile-size fix for the
+    x64-emulated stiff solves (9.2k vs 70-86k jaxpr eqns at the VdP
+    TS1(4) dense shapes; exposed as ``combine_engine="ll-scan"``).
     """
     a = els_ll[0]
     p0 = a.shape[-1]
@@ -241,6 +246,44 @@ def prefix_scan_sqrt_ll(els_ll, *, engine="xla", lanes=512, interpret=False):
 
     ident = identity_element_ll(m, c, p, dtype, extra)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, p), 2)
+
+    if engine == "xla-scan":
+        # lax.scan over the Kogge-Stone levels with the shift as a TRACED
+        # per-level value: the combine body lands in the program ONCE
+        # instead of ceil(log2 P) times.  The x64-emulated parallel-in-time
+        # programs are compile-bound through the TPU relay (measured: the
+        # stiff VdP w=1024 program is ~86k jaxpr equations, ~8k PER LEVEL,
+        # vs 837 for the sequential solve; its relay compile exceeded 85
+        # minutes) — the shift becomes a gather instead of a static slice,
+        # a rounding error next to the per-level stacked QRs.
+        import numpy as _np
+
+        n_levels = max(int(_np.ceil(_np.log2(p))), 0) if p > 1 else 0
+        shifts = jnp.asarray(
+            [1 << lv for lv in range(n_levels)], jnp.int32
+        )
+        lanes_1d = jnp.arange(p, dtype=jnp.int32)
+
+        def _level(pre, s):
+            idx = jnp.maximum(lanes_1d - s, 0)
+            mask = lane_iota >= s
+            shifted = tuple(
+                jnp.where(mask, jnp.take(x, idx, axis=-1), i_el)
+                for x, i_el in zip(pre, ident)
+            )
+            new = combine_sqrt_ll(shifted, pre)
+            pre = tuple(
+                jnp.where(mask, nw, old) for nw, old in zip(new, pre)
+            )
+            return pre, None
+
+        pre, _ = jax.lax.scan(_level, els_ll, shifts)
+        if pad:
+            pre = tuple(
+                jax.lax.slice_in_dim(x, 0, p0, axis=-1) for x in pre
+            )
+        return pre
+
     pre = els_ll
     s = 1
     while s < p:

@@ -90,6 +90,18 @@ def test_prefix_scan_matches_associative_scan(p):
     _assert_elements_match(got, want, atol=1e-9)
 
 
+@pytest.mark.parametrize("p", [1, 2, 5, 8])
+def test_prefix_scan_xla_scan_matches_unrolled(p):
+    # engine="xla-scan" puts the Kogge-Stone levels under lax.scan (one
+    # combine body in the program instead of log2(P) copies — the compile-
+    # size fix for the x64-emulated stiff PIT programs); the shift becomes
+    # a gather.  Same algebra, so f64 agreement is to rounding.
+    els = _random_elements(jax.random.PRNGKey(100 + p), p, 4, 1)
+    want = pit_fused.prefix_scan_sqrt(els, engine="xla")
+    got = pit_fused.prefix_scan_sqrt(els, engine="xla-scan")
+    _assert_elements_match(got, want, atol=1e-9)
+
+
 def test_identity_element_is_neutral():
     els = _random_elements(jax.random.PRNGKey(3), 5, 4, 2)
     ident = _from_ll(pit_fused.identity_element_ll(4, 2, 5, jnp.float64))
@@ -135,13 +147,17 @@ def test_combine_engine_end_to_end_matches_default():
         form="sqrt",
     )
     base = ivpsolve.solve_fixed_grid(vf_p, init, **kw)
-    got = ivpsolve.solve_fixed_grid(vf_p, init, combine_engine="ll", **kw)
-    np.testing.assert_allclose(
-        np.asarray(got.u), np.asarray(base.u), rtol=0, atol=1e-10
-    )
-    np.testing.assert_allclose(
-        np.asarray(got.u_std), np.asarray(base.u_std), rtol=1e-8, atol=1e-12
-    )
+    for engine in ("ll", "ll-scan"):
+        got = ivpsolve.solve_fixed_grid(
+            vf_p, init, combine_engine=engine, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.u), np.asarray(base.u), rtol=0, atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.u_std), np.asarray(base.u_std), rtol=1e-8,
+            atol=1e-12,
+        )
 
 
 def test_combine_ll_rank_polymorphic_block_axis():
