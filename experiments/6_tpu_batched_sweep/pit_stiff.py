@@ -349,11 +349,14 @@ def main(argv=None):
         )
         n_div = int(np.asarray(diag["window_diverged"]).sum())
         n_win = int(diag["num_windows"])
+        fin_w = np.asarray(diag.get("window_finite", np.ones(n_win, bool)))
+        bad_w = np.flatnonzero(~fin_w).tolist()
         ratio = t_seq / t_par
         print(
             f"parallel {label}: {t_par * 1e3:9.2f} ms  "
             f"seq/par={ratio:5.2f}x  rel={rel:.2e}  "
-            f"fallback={n_div}/{n_win}", flush=True,
+            f"fallback={n_div}/{n_win}"
+            + (f"  NONFINITE windows {bad_w}" if bad_w else ""), flush=True,
         )
         results.append({
             "mode": "parallel", "window": window, "iterations": iters,
@@ -362,6 +365,7 @@ def main(argv=None):
             "speedup_vs_seq": ratio, "rel_vs_seq": rel,
             "rel_oracle": oracle_src,
             "fallback_windows": n_div, "num_windows": n_win,
+            "nonfinite_windows": bad_w,
         })
         _flush()
 

@@ -1146,12 +1146,21 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
                 ),
                 None,
             )
-            return (m_end_d, p_end_d), outs + (delta, diverged)
+            # outs_ok above gated the ITERATED outputs; the fallback's
+            # sequential emission is what actually leaves the window, and on
+            # chip it can overflow after a garbage-but-finite carry.  Record
+            # its finiteness per window so a NaN solution names the window
+            # that poisoned it (round 5, observed on the stiff x64 TPU leg).
+            fin = jnp.all(jnp.isfinite(outs[0])) & jnp.all(
+                jnp.isfinite(outs[1])
+            )
+            return (m_end_d, p_end_d), outs + (delta, diverged, fin)
         # identity padding makes the last prefix equal the last VALID state
         m_end = to_cols(means[-1])
         p_end = covs[-1]
+        fin = jnp.all(jnp.isfinite(means)) & jnp.all(jnp.isfinite(covs))
         return (m_end, p_end), (means, covs, scales, delta,
-                                jnp.zeros((), bool))
+                                jnp.zeros((), bool), fin)
 
     # isotropic cholesky is (n, n) shared across d columns; dense is
     # (nd, nd); blockdiag carries one (n, n) factor per dimension (d, n, n)
@@ -1163,7 +1172,7 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         if lin_warm_w is None
         else (ts_w, dts_w, valid_w, lin_warm_w)
     )
-    _, (means_w, covs_w, scales_w, delta_w, div_w) = jax.lax.scan(
+    _, (means_w, covs_w, scales_w, delta_w, div_w, fin_w) = jax.lax.scan(
         window_step, (to_cols(rv0.mean), p0_init), scan_inputs
     )
     means = means_w.reshape((num_w * w,) + rv0.mean.shape)[:t1]
@@ -1220,5 +1229,6 @@ def _solve_fixed_grid_parallel(vf, init, *, grid, solver, iterations, window,
         # and whether the sequential fallback fired (always False when the
         # gate is off)
         return sol, {"window_delta": delta_w, "window_diverged": div_w,
+                     "window_finite": fin_w,
                      "window_size": w, "num_windows": num_w}
     return sol
