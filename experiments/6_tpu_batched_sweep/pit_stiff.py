@@ -55,7 +55,8 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
 
-GRID_CACHE = "/tmp/pit_stiff_grid_{rtol:.0e}.npy"
+GRID_CACHE = "/tmp/pit_stiff_grid_v2_{rtol:.0e}.npy"
+REFINE_CACHE = "/tmp/pit_stiff_grid_v2_{rtol:.0e}_r{r}.npy"
 
 
 def discover_grid(rtol):
@@ -101,11 +102,55 @@ def discover_grid(rtol):
     )
     np.save(
         GRID_CACHE.format(rtol=rtol),
-        {"grid": np.asarray(grid), "warm": np.asarray(warm)},
+        # m_prev: the filtered means at the interval left endpoints -- the
+        # --refine mode re-extrapolates the warm start onto sub-steps
+        {"grid": np.asarray(grid), "warm": np.asarray(warm),
+         "m_prev": np.asarray(m_prev)},
         allow_pickle=True,
     )
     print(f"discovered grid: {len(ts)} points, dt in "
           f"[{np.min(np.diff(ts)):.2e}, {np.max(np.diff(ts)):.2e}]")
+
+
+def refine_grid(rtol, r):
+    """CPU x64 subprocess: subdivide each adaptive interval into ``r``
+    uniform sub-steps and re-extrapolate the discovery warm start onto
+    every sub-point (same construction as the unrefined warm start: the
+    prediction from the owning interval's left filtered mean)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from odecheckpts_tpu import ivpsolvers
+
+    blob = np.load(GRID_CACHE.format(rtol=rtol), allow_pickle=True).item()
+    g = np.asarray(blob["grid"], np.float64)
+    m_prev = jnp.asarray(blob["m_prev"])
+    dts = np.diff(g)
+    sub = (g[:-1, None] + dts[:, None] * (np.arange(r) / r)).reshape(-1)
+    grid = np.concatenate([sub, g[-1:]])
+    prior = ivpsolvers.prior_ibm(
+        num_derivatives=4, ode_shape=(1,), implementation="dense"
+    )
+    strat = ivpsolvers.strategy_filter(
+        prior, ivpsolvers.correction_ts1(ode_order=2)
+    )
+    ssm = ivpsolvers.solver_dynamic(strat).ssm
+    offs = jnp.asarray(dts[:, None] * (np.arange(1, r + 1) / r))
+    warm = jax.vmap(
+        lambda m, off: jax.vmap(lambda o: ssm.extrapolate_mean(m, o)[0])(off)
+    )(m_prev, offs)
+    warm = np.asarray(warm).reshape((-1,) + np.asarray(m_prev).shape[1:])
+    assert len(warm) == len(grid) - 1, (warm.shape, grid.shape)
+    np.save(
+        REFINE_CACHE.format(rtol=rtol, r=r),
+        {"grid": grid, "warm": warm},
+        allow_pickle=True,
+    )
+    print(f"refined grid: {len(g)} -> {len(grid)} points (r={r})")
 
 
 def main(argv=None):
@@ -114,6 +159,8 @@ def main(argv=None):
     ap.add_argument("--rtol", type=float, default=1e-6)
     ap.add_argument("--dtype", choices=["f64", "f32"], default="f64")
     ap.add_argument("--discover", action="store_true")
+    ap.add_argument("--refine-prep", action="store_true",
+                    help="(internal) CPU subprocess step of --refine")
     ap.add_argument("--windows", type=int, nargs="*", default=None,
                     help="restrict the parallel configs to these windows")
     ap.add_argument("--itol", type=float, default=None,
@@ -125,6 +172,26 @@ def main(argv=None):
                          "9.2k jaxpr eqns vs 70-86k for 'scan'/'ll' at "
                          "these shapes, window-independent — the only one "
                          "whose x64 relay compile is not the bottleneck")
+    ap.add_argument("--refine", type=int, default=1,
+                    help="subdivide each adaptive interval into this many "
+                         "uniform sub-steps.  The adaptive grid's POINT "
+                         "density is proportional to local stiffness, so "
+                         "uniform-index windows concentrate whole "
+                         "relaxation transitions into single windows -- "
+                         "the regime where the affine iteration diverges "
+                         "(measured 8/10 fallbacks at w=256 on the raw "
+                         "2337-pt grid).  Refining r-fold shrinks each "
+                         "window's TIME span r-fold (convergence "
+                         "restored) while the sequential arm pays r-fold "
+                         "more steps: the 'grid size where PIT wins' "
+                         "experiment, matching the reference's fixed-"
+                         "accurate-grid workload "
+                         "(/root/reference/experiments/1_van_der_pol/"
+                         "vdp.py:83-103, 743k uniform steps)")
+    ap.add_argument("--out", default="data_pit_stiff.json",
+                    help="output JSON filename (next to this script); "
+                         "refined runs should use their own file -- the "
+                         "config guard refuses mixed grid_points")
     ap.add_argument("--skip-sequential", action="store_true",
                     help="reuse a committed sequential row instead of "
                          "re-measuring it (saves one x64 relay compile "
@@ -134,6 +201,9 @@ def main(argv=None):
     if args.discover:
         discover_grid(args.rtol)
         return None
+    if args.refine_prep:
+        refine_grid(args.rtol, args.refine)
+        return None
 
     cache = pathlib.Path(GRID_CACHE.format(rtol=args.rtol))
     if not cache.exists():
@@ -142,6 +212,18 @@ def main(argv=None):
             [sys.executable, __file__, "--discover", "--rtol", str(args.rtol)],
             check=True, env=env,
         )
+    if args.refine > 1:
+        rcache = pathlib.Path(
+            REFINE_CACHE.format(rtol=args.rtol, r=args.refine)
+        )
+        if not rcache.exists():
+            env = dict(os.environ, JAX_PLATFORMS="cpu")
+            subprocess.run(
+                [sys.executable, __file__, "--refine-prep",
+                 "--refine", str(args.refine), "--rtol", str(args.rtol)],
+                check=True, env=env,
+            )
+        cache = rcache
 
     import jax
 
@@ -204,12 +286,16 @@ def main(argv=None):
         return float(np.median(times)), out
 
     results = []
-    path = pathlib.Path(__file__).parent / "data_pit_stiff.json"
+    path = pathlib.Path(__file__).parent / args.out
+    problem_str = (
+        "van_der_pol mu=1e3, TS1(4, ode_order=2), dense, "
+        "adaptive grid rtol=%g" % args.rtol
+        + (", refine=%d" % args.refine if args.refine > 1 else "")
+    )
 
     def _flush():
         out = {
-            "problem": "van_der_pol mu=1e3, TS1(4, ode_order=2), dense, "
-                       "adaptive grid rtol=%g" % args.rtol,
+            "problem": problem_str,
             "dtype": args.dtype,
             "grid_points": int(len(np.asarray(grid))),
             "platform": jax.devices()[0].platform,
@@ -219,6 +305,20 @@ def main(argv=None):
         path.write_text(json.dumps(out, indent=2))
         return out
 
+    def _cpu_oracle():
+        """Sequential re-solve on the host CPU (x64): the parity yardstick
+        when the device arm's own output cannot serve as one."""
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            seq_cpu = jax.jit(
+                lambda g, i: ivpsolve.solve_fixed_grid(vf, i, grid=g,
+                                                       solver=solver)
+            )
+            return np.asarray(
+                seq_cpu(jax.device_put(grid, cpu),
+                        jax.device_put(init, cpu)).u
+            )
+
     done = set()
     if args.skip_sequential and path.exists():
         prior_blob = json.loads(path.read_text())
@@ -227,10 +327,8 @@ def main(argv=None):
         # speedup_vs_seq against a sequential time measured on another
         # problem and write a merged file whose header misdescribes the
         # carried-over rows.
-        want_problem = ("van_der_pol mu=1e3, TS1(4, ode_order=2), dense, "
-                        "adaptive grid rtol=%g" % args.rtol)
         for key, want in [
-            ("problem", want_problem),
+            ("problem", problem_str),
             ("dtype", args.dtype),
             ("grid_points", int(len(np.asarray(grid)))),
         ]:
@@ -258,16 +356,7 @@ def main(argv=None):
         # row's accuracy was already checked when it was measured).  NB the
         # deprecated jit(backend=...) arg is avoided: commit the inputs to a
         # CPU device instead.  Oracle provenance is recorded per row.
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            seq_cpu = jax.jit(
-                lambda g, i: ivpsolve.solve_fixed_grid(vf, i, grid=g,
-                                                       solver=solver)
-            )
-            u_seq = np.asarray(
-                seq_cpu(jax.device_put(grid, cpu),
-                        jax.device_put(init, cpu)).u
-            )
+        u_seq = _cpu_oracle()
         oracle_src = "cpu-recomputed"
         print(f"sequential: {t_seq * 1e3:9.2f} ms (reused committed row; "
               f"oracle recomputed on cpu)", flush=True)
@@ -279,8 +368,19 @@ def main(argv=None):
         t_seq, sol_seq = _time(seq, grid, init)
         u_seq = np.asarray(sol_seq.u)
         oracle_src = "device"
-        print(f"sequential: {t_seq * 1e3:9.2f} ms", flush=True)
-        results.append({"mode": "sequential", "time_s": t_seq})
+        # Round 4 only ever TIMED this arm; validate it.  If the on-chip
+        # x64 sequential solve is itself non-finite, every parallel row's
+        # rel would inherit the NaN -- swap in the CPU oracle and say so.
+        n_bad = int((~np.isfinite(u_seq)).sum())
+        seq_row = {"mode": "sequential", "time_s": t_seq,
+                   "nonfinite_points": n_bad}
+        print(f"sequential: {t_seq * 1e3:9.2f} ms"
+              + (f"  NONFINITE u at {n_bad}/{u_seq.size} points"
+                 if n_bad else ""), flush=True)
+        if n_bad:
+            u_seq = _cpu_oracle()
+            oracle_src = "cpu-recomputed (device sequential non-finite)"
+        results.append(seq_row)
         _flush()
 
     itol = args.itol or (1e-8 if args.dtype == "f64" else 1e-5)
