@@ -188,6 +188,18 @@ def main(argv=None):
                          "accurate-grid workload "
                          "(/root/reference/experiments/1_van_der_pol/"
                          "vdp.py:83-103, 743k uniform steps)")
+    ap.add_argument("--calibrate", choices=["dynamic", "none"],
+                    default="dynamic",
+                    help="'none' drops the dynamic output-scale sigma.  On "
+                         "a FIXED grid the per-step sigma cancels exactly "
+                         "in the zero-noise Kalman gain, so the u "
+                         "trajectory is unchanged -- but sigma itself "
+                         "reaches ~1e15 on stiff VdP, and this chip's "
+                         "emulated f64 has F32 RANGE (measured: (1e25)^2 "
+                         "= NaN on device, probe_range round 5): sigma-"
+                         "weighted factor products overflow it.  'none' "
+                         "is the range-safe stiff leg; parity is checked "
+                         "against the CPU f64 oracle as always")
     ap.add_argument("--out", default="data_pit_stiff.json",
                     help="output JSON filename (next to this script); "
                          "refined runs should use their own file -- the "
@@ -268,7 +280,9 @@ def main(argv=None):
     strat = ivpsolvers.strategy_filter(
         prior, ivpsolvers.correction_ts1(ode_order=2)
     )
-    solver = ivpsolvers.solver_dynamic(strat)
+    solver = (ivpsolvers.solver_dynamic(strat)
+              if args.calibrate == "dynamic"
+              else ivpsolvers.solver(strat))
     tco = taylor.odejet_padded_scan(
         lambda *y: vf(*y, t=fdt(0.0)), (fdt(u0), fdt(du0)), num=nu - 1
     )
@@ -291,6 +305,7 @@ def main(argv=None):
         "van_der_pol mu=1e3, TS1(4, ode_order=2), dense, "
         "adaptive grid rtol=%g" % args.rtol
         + (", refine=%d" % args.refine if args.refine > 1 else "")
+        + (", calibrate=none" if args.calibrate == "none" else "")
     )
 
     def _flush():

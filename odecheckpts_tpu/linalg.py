@@ -40,6 +40,38 @@ def _sign_safe(x):
     return jnp.where(x >= 0, 1.0, -1.0).astype(x.dtype)
 
 
+def _scaled_col_stats(colm, is_j, eps):
+    """Column norm stats in per-column POWER-OF-TWO scaled coordinates.
+
+    ``colm``: (..., m) masked column.  Returns ``(cs, norm2, norm, head)``
+    with ``cs = colm / 2^e`` for ``e = floor(log2(max|colm|))``.
+
+    Why: the Householder reflection is invariant to scaling its vector, but
+    the column-norm SQUARES entries -- and on TPU the x64 mode is a
+    pair-of-f32 emulation whose exponent range (and subnormal flush) is
+    f32's, not f64's.  Stiff preconditioned factors carry columns spanning
+    ~1e-22..1e12 in one matrix: the tiny columns' squares flush to zero on
+    chip (norm 0 -> skipped reflection -> non-triangular R -> NaN
+    downstream), while true f64 on CPU resolves them.  Scaling each column
+    by a power of two is EXACT in floating point (pure exponent shift), so
+    CPU results are bit-identical and the chip sees O(1) squares.
+    (Measured round 5: probe_range shows (1e25)^2 = NaN on-device under
+    x64; the on-chip stiff VdP sequential solve was non-finite at
+    34,080/37,377 grid points before this rescale.)
+    """
+    cmax = jnp.max(jnp.abs(colm), axis=-1, keepdims=True)
+    cok = jnp.isfinite(cmax) & (cmax > 0)
+    ce = jnp.exp2(jnp.floor(jnp.log2(jnp.where(cok, cmax, 1.0))))
+    ce = jax.lax.stop_gradient(jnp.where(cok, ce, 1.0))
+    cs = colm / ce
+    norm2 = jnp.sum(cs * cs, axis=-1, keepdims=True)
+    # tiny floor keeps sqrt differentiable at exactly-zero columns (rank-
+    # deficient factors occur by construction after exact corrections)
+    norm = jnp.sqrt(norm2 + eps)
+    head = jnp.sum(cs * is_j, axis=-1, keepdims=True)
+    return cs, norm2, norm, head
+
+
 def _qr_r_householder(x):
     """R factor of QR via unrolled masked Householder reflections.
 
@@ -59,14 +91,11 @@ def _qr_r_householder(x):
         below = (rows >= j).astype(x.dtype)
         is_j = (rows == j).astype(x.dtype)
         colm = col * below
-        # tiny floor keeps sqrt differentiable at exactly-zero columns (rank-
-        # deficient factors occur by construction after exact corrections)
-        norm2 = jnp.sum(colm * colm, axis=-1, keepdims=True)
-        norm = jnp.sqrt(norm2 + eps)
-        head = jnp.sum(colm * is_j, axis=-1, keepdims=True)
+        cs, norm2, norm, head = _scaled_col_stats(colm, is_j, eps)
         alpha = -_sign_safe(head) * norm
-        v = colm - is_j * alpha
-        # ||v||^2 = ||colm||^2 + alpha^2 - 2 head alpha
+        v = cs - is_j * alpha
+        # ||v||^2 = ||cs||^2 + alpha^2 - 2 head alpha  (scaled coordinates;
+        # the reflection H = I - 2 v v^T/||v||^2 is invariant to scaling v)
         vnorm2 = norm2 + alpha * alpha - 2.0 * head * alpha
         # Degenerate column (already eliminated): skip the reflection.
         safe = vnorm2 > eps
@@ -96,11 +125,9 @@ def _qr_r_householder_loop(x):
         below = (rows >= j).astype(x.dtype)
         is_j = (rows == j).astype(x.dtype)
         colm = col * below
-        norm2 = jnp.sum(colm * colm, axis=-1, keepdims=True)
-        norm = jnp.sqrt(norm2 + eps)
-        head = jnp.sum(colm * is_j, axis=-1, keepdims=True)
+        cs, norm2, norm, head = _scaled_col_stats(colm, is_j, eps)
         alpha = -_sign_safe(head) * norm
-        v = colm - is_j * alpha
+        v = cs - is_j * alpha
         vnorm2 = norm2 + alpha * alpha - 2.0 * head * alpha
         safe = vnorm2 > eps
         inv = jnp.where(safe, 2.0 / jnp.where(safe, vnorm2, 1.0), 0.0)
