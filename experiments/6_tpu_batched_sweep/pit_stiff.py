@@ -165,6 +165,11 @@ def main(argv=None):
                     help="restrict the parallel configs to these windows")
     ap.add_argument("--itol", type=float, default=None,
                     help="override the per-window iteration tolerance")
+    ap.add_argument("--iters", type=int, default=None,
+                    help="override the sweep cap.  Fallback windows pay "
+                         "BOTH the capped sweeps and the in-window "
+                         "sequential re-solve, so on fallback-heavy "
+                         "configs a lower cap trims the wasted sweeps")
     ap.add_argument("--engines", nargs="*", default=None,
                     choices=["scan", "ll", "ll-scan"],
                     help="restrict the combine engines.  'll-scan' (round "
@@ -403,7 +408,7 @@ def main(argv=None):
     # one-chip run only w >= ~256 has a shot at beating the sequential scan
     # (w=16 means ceil(T/16) sequentially processed windows).  A partial run
     # (relay flakiness) should leave the informative rows behind.
-    for window, iters, warmkind, engine in [
+    for window, iters_cfg, warmkind, engine in [
         (1024, 36, "discovery", "ll-scan"),
         (512, 36, "discovery", "ll-scan"),
         (256, 36, "discovery", "ll-scan"),
@@ -424,6 +429,7 @@ def main(argv=None):
             continue
         if args.engines is not None and (engine or "scan") not in args.engines:
             continue
+        iters = args.iters if args.iters is not None else iters_cfg
         if (window, engine, itol, warmkind) in done:
             print(f"skip w={window} combine={engine or 'scan'}: already in "
                   f"prior rows", flush=True)
