@@ -98,11 +98,19 @@ def main():
     }
     print("\n", list(algorithms.keys()), "\n")
 
+    if args.only:
+        wanted = [s.strip().lower() for s in args.only.split(",")]
+        algorithms = {
+            k: v for k, v in algorithms.items()
+            if any(s in k.lower() for s in wanted)
+        }
+        print(f"--only: restricted to {list(algorithms)}", flush=True)
+
     reference = rk_solver("dopri5")(1e-15)[0]
     precision = harness.rmse_absolute(reference)
 
     here = pathlib.Path(__file__).parent
-    partial_path = here / "data_results.partial.npy"
+    partial_path = here / f"data_results.partial{args.partial_suffix}.npy"
     results = {}
     if args.resume and partial_path.exists():
         import numpy as np
@@ -121,8 +129,11 @@ def main():
             # (round-4 regen died after hours with nothing saved)
             jnp.save(partial_path, results, allow_pickle=True)
 
-    if args.nosave:
-        print("\nSkipped saving.\n")
+    if args.nosave or args.only:
+        # --only runs feed their partial file; the full data_results.npy is
+        # assembled only by a complete (unfiltered) run or an explicit merge
+        print("\nSkipped saving (partial-only run).\n"
+              if args.only else "\nSkipped saving.\n")
     else:
         jnp.save(here / "data_results.npy", results, allow_pickle=True)
         jnp.save(here / "data_checkpoints.npy", xs)
@@ -135,6 +146,14 @@ def parse_arguments() -> argparse.Namespace:
     parser.add_argument("--start", type=int, default=3)
     parser.add_argument("--stop", type=int, default=10)
     parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--only", type=str, default=None,
+                        help="comma-separated substrings: run only matching "
+                             "algorithms, write only the partial file (used "
+                             "to farm cheap rows in a side process while a "
+                             "slow row computes)")
+    parser.add_argument("--partial-suffix", type=str, default="",
+                        help="suffix for the partial filename so two "
+                             "processes never race on one file")
     parser.add_argument("--nosave", action=argparse.BooleanOptionalAction)
     parser.add_argument("--error-unit", choices=["qoi", "residual"], default="residual")
     parser.add_argument("--resume", action="store_true",
